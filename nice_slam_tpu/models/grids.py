@@ -1,0 +1,106 @@
+"""Hierarchical feature-grid volumes (L1 state).
+
+Functional parity targets:
+  * bound loading / rounding:  /root/reference/src/NICE_SLAM.py:188-208
+    (upper bound rounded up so the extent divides `bound_divisible`; the
+    coarse decoder sees bound * coarse_bound_enlarge)
+  * grid allocation:           /root/reference/src/NICE_SLAM.py:243-320
+    (shape int(extent/grid_len) per axis, N(0, 0.01) init except the fine
+    grid's N(0, 0.0001))
+
+Layout: [Nx, Ny, Nz, c_dim] channel-last (see ops/trilinear.py for why the
+reference's z/y/x axis swap disappears here).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+GRID_KEYS = ('coarse', 'middle', 'fine', 'color')
+
+
+class GridConfig(NamedTuple):
+    """Static grid geometry (config keys `grid_len.*`, `model.*`,
+    `mapping.bound`)."""
+
+    bound: tuple[tuple[float, float], ...]  # [3][2], after rounding
+    coarse_grid_len: float = 2.0
+    middle_grid_len: float = 0.32
+    fine_grid_len: float = 0.16
+    color_grid_len: float = 0.16
+    c_dim: int = 32
+    coarse_bound_enlarge: float = 2.0
+    coarse: bool = True
+
+    @property
+    def bound_np(self) -> np.ndarray:
+        return np.asarray(self.bound, dtype=np.float32)
+
+    @property
+    def coarse_bound_np(self) -> np.ndarray:
+        return self.bound_np * self.coarse_bound_enlarge
+
+
+def round_bound(raw_bound, bound_divisible: float, scale: float = 1.0
+                ) -> tuple[tuple[float, float], ...]:
+    """Scale the configured bound and round the upper edge up so each extent
+    is divisible by `bound_divisible` (NICE_SLAM.py:196-201)."""
+    b = np.asarray(raw_bound, dtype=np.float64) * scale
+    extent = b[:, 1] - b[:, 0]
+    b[:, 1] = (np.floor(extent / bound_divisible).astype(np.int64) + 1) \
+        * bound_divisible + b[:, 0]
+    return tuple((float(lo), float(hi)) for lo, hi in b)
+
+
+def grid_shapes(cfg: GridConfig) -> dict[str, tuple[int, int, int]]:
+    """Voxel counts per level: int(extent / grid_len) with truncation, the
+    coarse level over the enlarged bound (NICE_SLAM.py:282-316)."""
+    b = cfg.bound_np
+    extent = b[:, 1] - b[:, 0]
+    shapes = {
+        'middle': tuple(int(v) for v in extent / cfg.middle_grid_len),
+        'fine': tuple(int(v) for v in extent / cfg.fine_grid_len),
+        'color': tuple(int(v) for v in extent / cfg.color_grid_len),
+    }
+    if cfg.coarse:
+        shapes['coarse'] = tuple(
+            int(v) for v in extent * cfg.coarse_bound_enlarge
+            / cfg.coarse_grid_len)
+    return shapes
+
+
+def init_grids(key: jax.Array, cfg: GridConfig) -> dict[str, jnp.ndarray]:
+    """Allocate and randomly initialize the feature volumes.
+
+    N(0, 0.01) everywhere except the fine grid's N(0, 0.0001)
+    (NICE_SLAM.py:289-316).
+    """
+    shapes = grid_shapes(cfg)
+    stds = {'coarse': 0.01, 'middle': 0.01, 'fine': 0.0001, 'color': 0.01}
+    grids = {}
+    keys = jax.random.split(key, len(shapes))
+    for k, (name, shape) in zip(keys, sorted(shapes.items())):
+        grids[name] = jax.random.normal(
+            k, (*shape, cfg.c_dim), dtype=jnp.float32) * stds[name]
+    return grids
+
+
+def grid_world_coords(cfg: GridConfig, name: str) -> np.ndarray:
+    """World coordinates of every grid node, [Nx, Ny, Nz, 3].
+
+    Matches the frustum-selection lattice (Mapper.py:116-120): nodes span the
+    bound inclusively with `linspace(lo, hi, N)`.  The coarse grid spans the
+    enlarged bound.
+    """
+    shapes = grid_shapes(cfg)
+    nx, ny, nz = shapes[name]
+    b = cfg.coarse_bound_np if name == 'coarse' else cfg.bound_np
+    xs = np.linspace(b[0, 0], b[0, 1], nx)
+    ys = np.linspace(b[1, 0], b[1, 1], ny)
+    zs = np.linspace(b[2, 0], b[2, 1], nz)
+    gx, gy, gz = np.meshgrid(xs, ys, zs, indexing='ij')
+    return np.stack([gx, gy, gz], axis=-1).astype(np.float32)
