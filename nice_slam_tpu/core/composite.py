@@ -12,6 +12,7 @@ surrounding elementwise work, so this whole function is one fused kernel.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 
@@ -43,10 +44,16 @@ def composite_rays(raw: jnp.ndarray, z_vals: jnp.ndarray, rays_d: jnp.ndarray,
     else:
         alpha = 1.0 - jnp.exp(-jnp.maximum(raw[..., 3], 0.0) * dists)
 
-    # transmittance T_i = prod_{j<i} (1 - alpha_j + 1e-10)
+    # transmittance T_i = prod_{j<i} (1 - alpha_j + 1e-10).
+    # Numerical-safety notes: cumprod's VJP divides by its inputs, which are
+    # bounded below by the +1e-10, so gradients stay finite even when the
+    # running product underflows to 0 across saturated samples.  (An
+    # exp(cumsum(log .)) formulation is NOT safe here — XLA's fusion of that
+    # backward emits NaNs on saturated rays; see tests/test_composite.py.)
+    one_minus = 1.0 - alpha + 1e-10
     trans = jnp.cumprod(
-        jnp.concatenate([jnp.ones_like(alpha[..., :1]),
-                         1.0 - alpha + 1e-10], axis=-1), axis=-1)[..., :-1]
+        jnp.concatenate([jnp.ones_like(alpha[..., :1]), one_minus],
+                        axis=-1), axis=-1)[..., :-1]
     weights = alpha * trans
 
     rgb_map = jnp.sum(weights[..., None] * rgb, axis=-2)
@@ -57,5 +64,10 @@ def composite_rays(raw: jnp.ndarray, z_vals: jnp.ndarray, rays_d: jnp.ndarray,
 
 
 def _sigmoid10(x: jnp.ndarray) -> jnp.ndarray:
-    """NICE occupancy activation: sigmoid(10 x) (common.py:243-245)."""
-    return 1.0 / (1.0 + jnp.exp(-10.0 * x))
+    """NICE occupancy activation: sigmoid(10 x) (common.py:243-245).
+
+    jax.nn.sigmoid, not 1/(1+exp(-10x)): the naive form overflows exp for
+    strongly negative logits (carved-out free space reaches -40 after a few
+    mapping iterations) and its VJP then emits inf/inf = NaN.
+    """
+    return jax.nn.sigmoid(10.0 * x)

@@ -1,0 +1,255 @@
+"""Mapping engine (L3): joint grid/decoder/pose optimization.
+
+Functional parity target: /root/reference/src/Mapper.py `optimize_map`
+(:295-669) and its stage schedule:
+  * a window of keyframes + the current frame supplies rays each iteration
+    (pixels split evenly across frames, :362, :543-572);
+  * the stage walks coarse|middle|fine|color by iteration fraction
+    (:502-509) and each stage sets per-group learning rates from the config
+    table (:510-518), scaled by lr_factor;
+  * frustum feature selection freezes grid cells outside the current
+    camera's view (:371-414, :633-642);
+  * local BA optimizes all window poses except the oldest (:430-455), with
+    camera lr active only in the color stage (:516-518);
+  * iMAP*: single param group with StepLR(200, 0.8) decay (:483-485, 519-523)
+    plus the free-space regulation loss (:616-621).
+
+TPU design: the whole `num_joint_iters` loop is ONE `lax.scan` inside one
+jit.  The stage schedule becomes data: a per-iteration learning-rate table
+[iters, 6] indexed inside the scan, and `lax.switch` picks the stage's
+render branch, so a single compiled program covers the middle/fine/color
+phases.  Gradient masks reproduce frustum selection and pose freezing
+exactly (see utils/optim.py).  A fresh Adam state per call matches the
+reference's fresh optimizer per mapping invocation.
+"""
+
+from __future__ import annotations
+
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from nice_slam_tpu.core.cameras import Intrinsics, c2w_from_tensor, rays_from_uv
+from nice_slam_tpu.core.sampling import (
+    gather_pixels, ray_bound_exit, sample_pixels)
+from nice_slam_tpu.render.renderer import (
+    RenderConfig, SceneModel, regulation_sigma, render_rays)
+from nice_slam_tpu.utils.optim import adam_init, adam_update
+
+# learning-rate table columns
+(LR_DECODERS, LR_COARSE, LR_MIDDLE, LR_FINE, LR_COLOR, LR_CAM,
+ LR_DEC_MIDDLE) = range(7)
+STAGE_ORDER = ('coarse', 'middle', 'fine', 'color')
+
+
+class MapperConfig(NamedTuple):
+    """Static mapping hyperparameters (config `mapping.*`,
+    configs/nice_slam.yaml:53-107)."""
+
+    pixels: int = 1000
+    iters: int = 60
+    iters_first: int = 1500
+    lr_factor: float = 1.0
+    lr_first_factor: float = 5.0
+    middle_iter_ratio: float = 0.4
+    fine_iter_ratio: float = 0.6
+    every_frame: int = 5
+    ba: bool = True
+    ba_cam_lr: float = 0.001
+    fix_fine: bool = True
+    fix_color: bool = False
+    train_middle: bool = False   # from-scratch extension (no pretrain blobs)
+    frustum_selection: bool = True
+    keyframe_every: int = 50
+    window_size: int = 5
+    w_color_loss: float = 0.2
+    keyframe_selection: str = 'overlap'  # 'overlap' | 'global'
+    color_refine: bool = True
+    stage_lr: tuple = ()       # ((stage, (dec, coarse, mid, fine, color)),..)
+    imap_decoders_lr: float = 0.0002
+    # from-scratch extension: lr for the middle decoder, active ONLY during
+    # the middle stage (training it in later stages shifts the geometry the
+    # fine residual and grids were fit against and collapses the map)
+    middle_decoder_lr: float = 0.005
+    coarse_mapper: bool = False
+
+
+def stage_schedule(mcfg: MapperConfig, n_iters: int, nice: bool
+                   ) -> np.ndarray:
+    """Per-iteration stage indices into STAGE_ORDER (Mapper.py:502-509)."""
+    idx = np.zeros((n_iters,), dtype=np.int32)
+    if not nice:
+        idx[:] = 3  # imap always renders/losses like 'color'
+        return idx
+    if mcfg.coarse_mapper:
+        idx[:] = 0
+        return idx
+    for it in range(n_iters):
+        if it <= int(n_iters * mcfg.middle_iter_ratio):
+            idx[it] = 1
+        elif it <= int(n_iters * mcfg.fine_iter_ratio):
+            idx[it] = 2
+        else:
+            idx[it] = 3
+    return idx
+
+
+def lr_table(mcfg: MapperConfig, n_iters: int, lr_factor: float, nice: bool,
+             ba_active: bool) -> np.ndarray:
+    """[n_iters, 6] learning rates (Mapper.py:510-523).
+
+    NICE: per-stage rates from the config table scaled by lr_factor; camera
+    lr = BA_cam_lr only in the color stage when BA is active.
+    iMAP: decoders lr with StepLR(200, 0.8) decay; camera lr = BA_cam_lr.
+    """
+    table = np.zeros((n_iters, 7), dtype=np.float32)
+    if nice:
+        stages = dict(mcfg.stage_lr)
+        sched = stage_schedule(mcfg, n_iters, nice=True)
+        for it in range(n_iters):
+            s = STAGE_ORDER[sched[it]]
+            dec, c, m, f, col = stages[s]
+            table[it, :5] = (dec * lr_factor, c * lr_factor, m * lr_factor,
+                             f * lr_factor, col * lr_factor)
+            if ba_active and s == 'color':
+                table[it, LR_CAM] = mcfg.ba_cam_lr
+            if s == 'middle':
+                table[it, LR_DEC_MIDDLE] = mcfg.middle_decoder_lr * lr_factor
+    else:
+        steps = np.arange(n_iters) // 200
+        table[:, LR_DECODERS] = mcfg.imap_decoders_lr * (0.8 ** steps)
+        if ba_active:
+            table[:, LR_CAM] = mcfg.ba_cam_lr
+    return table
+
+
+def _window_rays(cam7s, colors, depths, key, n_frames, pix_per_frame,
+                 intr: Intrinsics):
+    """Sample pixels from every window frame and build rays.
+
+    The mapper samples the full image (no edge crop, Mapper.py:567-568).
+    Returns flattened [F*P] rays and ground truth.
+    """
+    def per_frame(cam7, color, depth, k):
+        i, j = sample_pixels(k, pix_per_frame, 0, intr.H, 0, intr.W)
+        c2w = c2w_from_tensor(cam7)
+        o, d = rays_from_uv(i, j, c2w, intr)
+        return o, d, gather_pixels(depth, i, j), gather_pixels(color, i, j)
+
+    keys = jax.random.split(key, n_frames)
+    o, d, dgt, cgt = jax.vmap(per_frame)(cam7s, colors, depths, keys)
+    flat = lambda x: x.reshape((-1,) + x.shape[2:])
+    return flat(o), flat(d), flat(dgt), flat(cgt)
+
+
+def make_map_step(*, model: SceneModel, rcfg: RenderConfig,
+                  mcfg: MapperConfig, intr: Intrinsics, n_frames: int,
+                  n_iters: int, pix_per_frame: int):
+    """Build the jitted mapping program for a given window size/iteration
+    count.  Recompiled only when those static sizes change (window growth,
+    first-frame iters, color-refine).
+
+    The returned jitted function:
+      (opt_params, frozen_dec, masks, lr_tab, stage_idx, cam_mask,
+       colors, depths, key) -> (opt_params', losses[n_iters])
+    with
+      opt_params = {'cams': [F, 7], 'grids': {...}, 'dec': {...}}
+      frozen_dec: non-trainable decoder params (merged at eval time)
+      masks: {grid_name: [Nx, Ny, Nz, 1] 0/1} or None (frustum selection)
+      lr_tab: [n_iters, 6]; stage_idx: [n_iters] ints into STAGE_ORDER
+      cam_mask: [F] 0/1 trainable-pose mask (oldest frozen; zeros if no BA)
+      colors: [F, H, W, 3]; depths: [F, H, W].
+    """
+    nice = model.kind == 'nice'
+
+    def full_params(opt_dec, frozen_dec):
+        if not nice:
+            return opt_dec['imap']
+        return {**frozen_dec, **opt_dec}
+
+    def loss_for_stage(stage: str):
+        use_depth = not (mcfg.coarse_mapper or stage == 'coarse')
+
+        def loss_fn(opt_params, frozen_dec, colors, depths, key):
+            params = full_params(opt_params['dec'], frozen_dec)
+            grids = opt_params['grids'] if nice else None
+            o, d, dgt, cgt = _window_rays(
+                opt_params['cams'], colors, depths, key,
+                n_frames, pix_per_frame, intr)
+            if nice:
+                # bbox prefilter as a weight mask (Mapper.py:580-596)
+                t_exit = ray_bound_exit(jax.lax.stop_gradient(o),
+                                        jax.lax.stop_gradient(d), model.bound)
+                inside = t_exit >= dgt
+            else:
+                inside = jnp.ones_like(dgt, dtype=bool)
+            d_render = jnp.where(inside, dgt, 0.0)
+            depth, var, color, _ = render_rays(
+                params, grids, o, d, stage=stage, model=model, rcfg=rcfg,
+                gt_depth=(d_render if use_depth else None), key=key)
+            depth_mask = (dgt > 0) & inside
+            loss = jnp.sum(jnp.where(depth_mask, jnp.abs(dgt - depth), 0.0))
+            if (not nice) or stage == 'color':
+                col_l = jnp.sum(jnp.where(inside[:, None],
+                                          jnp.abs(cgt - color), 0.0))
+                loss = loss + mcfg.w_color_loss * col_l
+            if not rcfg.occupancy:  # iMAP free-space regulation (:616-621)
+                sigma = regulation_sigma(
+                    params, grids, o, d, d_render, model=model, rcfg=rcfg,
+                    key=jax.random.fold_in(key, 7), stage=stage)
+                loss = loss + 0.0005 * jnp.sum(jnp.abs(sigma))
+            return loss
+
+        return loss_fn
+
+    if mcfg.coarse_mapper:
+        branch_stages = ('coarse',)
+    elif nice:
+        branch_stages = ('middle', 'fine', 'color')
+    else:
+        branch_stages = ('color',)
+    grad_fns = [jax.value_and_grad(loss_for_stage(s)) for s in branch_stages]
+
+    def map_step(opt_params, frozen_dec, masks, lr_tab, stage_idx, cam_mask,
+                 colors, depths, key):
+        def body(carry, it):
+            opt_p, opt_state = carry
+            k = jax.random.fold_in(key, it)
+            lrs = lr_tab[it]
+
+            if len(grad_fns) == 1:
+                loss, grads = grad_fns[0](opt_p, frozen_dec, colors, depths, k)
+            else:
+                bidx = stage_idx[it] - 1  # middle=1 -> branch 0, etc.
+                loss, grads = jax.lax.switch(
+                    bidx, grad_fns, opt_p, frozen_dec, colors, depths, k)
+
+            if nice:
+                lr_prefix = {
+                    'cams': lrs[LR_CAM],
+                    'grids': {name: lrs[1 + STAGE_ORDER.index(name)]
+                              for name in opt_p['grids']},
+                    'dec': {k: (lrs[LR_DEC_MIDDLE] if k == 'middle'
+                                else lrs[LR_DECODERS])
+                            for k in opt_p['dec']},
+                }
+            else:
+                lr_prefix = {'cams': lrs[LR_CAM], 'grids': 0.0,
+                             'dec': lrs[LR_DECODERS]}
+            mask_prefix = {
+                'cams': cam_mask[:, None],
+                'grids': masks if masks is not None else 1.0,
+                'dec': 1.0,
+            }
+            opt_p, opt_state = adam_update(
+                opt_p, grads, opt_state, lr_prefix, mask=mask_prefix)
+            return (opt_p, opt_state), loss
+
+        init = (opt_params, adam_init(opt_params))
+        (opt_params_out, _), losses = jax.lax.scan(
+            body, init, jnp.arange(n_iters))
+        return opt_params_out, losses
+
+    return jax.jit(map_step)

@@ -1,0 +1,566 @@
+"""Single-controller SLAM orchestrator (L4).
+
+Functional parity target: /root/reference/src/NICE_SLAM.py + the run loops
+of Tracker.py:151-299 and Mapper.py:671-806.
+
+The reference runs 3 OS processes (tracker / mapper / coarse mapper) that
+poll shared-memory tensors with sleep(0.1) busy-waits (sync gates
+Tracker.py:173-192, Mapper.py:683-695).  Under `sync_method='strict'` (the
+default everywhere) that machinery serializes to a fixed interleaving:
+
+    map(0, iters_first) ; then per frame idx>=1:
+        track(idx) ; if idx % every_frame == 0 or idx == n-1: map(idx)
+
+This orchestrator executes exactly that interleaving from ONE Python
+controller: tracking and mapping are jitted programs exchanging pytrees of
+device arrays — no processes, no shared memory, no polling.  'loose'/'free'
+currently run the same schedule (JAX dispatch is already asynchronous; an
+overlapped two-stream variant is a planned optimization, not a semantic
+change, because strict is the accuracy-bearing mode).
+
+State ownership (single-writer, like the reference):
+  * tracker writes estimate_c2w_list[idx]
+  * mapper writes grids/decoders/keyframe poses (BA)
+  * the coarse mapper owns only the coarse grid and its own keyframe list
+    (Mapper.__init__:82-87 — it is a second Mapper instance)
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from dataclasses import dataclass, field
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from nice_slam_tpu.core.cameras import (
+    Intrinsics, c2w_from_tensor_4x4, tensor_from_c2w)
+from nice_slam_tpu.engine.frustum import frustum_mask
+from nice_slam_tpu.engine.keyframes import Keyframe, KeyframeStore
+from nice_slam_tpu.engine.mapper import (
+    MapperConfig, lr_table, make_map_step, stage_schedule)
+from nice_slam_tpu.engine.tracker import (
+    TrackerConfig, const_speed_init, make_track_frame)
+from nice_slam_tpu.models.decoders import (
+    init_imap_decoder, init_nice_decoders)
+from nice_slam_tpu.models.grids import (
+    GridConfig, grid_shapes, grid_world_coords, init_grids)
+from nice_slam_tpu.render.renderer import RenderConfig, SceneModel
+from nice_slam_tpu.utils import config as cfgutil
+from nice_slam_tpu.utils.ckpt import save_checkpoint
+
+
+def tracker_config_from_cfg(cfg: dict) -> TrackerConfig:
+    t = cfg['tracking']
+    return TrackerConfig(
+        pixels=int(t['pixels']), iters=int(t['iters']),
+        cam_lr=float(t['lr']), separate_lr=bool(t['seperate_LR']),
+        w_color_loss=float(t['w_color_loss']),
+        use_color=bool(t['use_color_in_tracking']),
+        ignore_edge_w=int(t['ignore_edge_W']),
+        ignore_edge_h=int(t['ignore_edge_H']),
+        handle_dynamic=bool(t['handle_dynamic']),
+        const_speed=bool(t['const_speed_assumption']),
+        var_floor=float(t.get('var_floor', 1e-10)))
+
+
+def mapper_config_from_cfg(cfg: dict, *, coarse_mapper: bool = False
+                           ) -> MapperConfig:
+    m = cfg['mapping']
+    stage_lr = tuple(
+        (s, (float(m['stage'][s]['decoders_lr']),
+             float(m['stage'][s]['coarse_lr']),
+             float(m['stage'][s]['middle_lr']),
+             float(m['stage'][s]['fine_lr']),
+             float(m['stage'][s]['color_lr'])))
+        for s in ('coarse', 'middle', 'fine', 'color')) \
+        if 'stage' in m else ()
+    sel = m['keyframe_selection_method']
+    if coarse_mapper:
+        sel = 'global'  # forced for the coarse mapper (Mapper.py:82-84)
+    return MapperConfig(
+        pixels=int(m['pixels']), iters=int(m['iters']),
+        iters_first=int(m['iters_first']),
+        lr_factor=float(m['lr_factor']),
+        lr_first_factor=float(m['lr_first_factor']),
+        middle_iter_ratio=float(m['middle_iter_ratio']),
+        fine_iter_ratio=float(m['fine_iter_ratio']),
+        every_frame=int(m['every_frame']),
+        ba=bool(m['BA']), ba_cam_lr=float(m['BA_cam_lr']),
+        fix_fine=bool(m['fix_fine']), fix_color=bool(m['fix_color']),
+        train_middle=bool(m.get('train_middle', False)),
+        frustum_selection=bool(m['frustum_feature_selection']),
+        keyframe_every=int(m['keyframe_every']),
+        window_size=int(m['mapping_window_size']),
+        w_color_loss=float(m['w_color_loss']),
+        keyframe_selection=sel,
+        color_refine=bool(m['color_refine']),
+        stage_lr=stage_lr,
+        imap_decoders_lr=float(m.get('imap_decoders_lr', 0.0002)),
+        coarse_mapper=coarse_mapper)
+
+
+@dataclass
+class PhaseTimers:
+    """Aux subsystem #1 (SURVEY.md §5): per-phase wall-clock accounting."""
+    track_s: float = 0.0
+    map_s: float = 0.0
+    coarse_map_s: float = 0.0
+    mesh_s: float = 0.0
+    frames_tracked: int = 0
+    frames_mapped: int = 0
+    map_iters: int = 0
+
+    def summary(self) -> dict:
+        out = {
+            'track_s': round(self.track_s, 3),
+            'map_s': round(self.map_s, 3),
+            'coarse_map_s': round(self.coarse_map_s, 3),
+            'mesh_s': round(self.mesh_s, 3),
+            'frames_tracked': self.frames_tracked,
+            'frames_mapped': self.frames_mapped,
+            'map_iters': self.map_iters,
+        }
+        if self.track_s > 0:
+            out['tracked_fps'] = round(self.frames_tracked / self.track_s, 3)
+        if self.map_s > 0:
+            out['map_iters_per_s'] = round(self.map_iters / self.map_s, 2)
+        return out
+
+
+class SlamSystem:
+    """Owns all SLAM state and drives the strict-sync schedule."""
+
+    def __init__(self, cfg: dict, *, nice: bool = True,
+                 input_folder: str | None = None,
+                 output: str | None = None, seed: int = 0,
+                 frame_reader=None, verbose: bool | None = None):
+        self.cfg = cfg
+        self.nice = nice
+        self.verbose = cfg.get('verbose', False) if verbose is None \
+            else verbose
+        self.output = output or cfg['data'].get('output', 'output/run')
+        os.makedirs(self.output, exist_ok=True)
+        os.makedirs(os.path.join(self.output, 'ckpts'), exist_ok=True)
+        os.makedirs(os.path.join(self.output, 'mesh'), exist_ok=True)
+
+        self.intr: Intrinsics = cfgutil.intrinsics_from_cfg(cfg)
+        self.rcfg: RenderConfig = cfgutil.render_config_from_cfg(cfg)
+        self.dcfg = cfgutil.decoder_config_from_cfg(cfg)
+        self.gcfg: GridConfig = cfgutil.grid_config_from_cfg(cfg)
+        self.tcfg = tracker_config_from_cfg(cfg)
+        self.mcfg = mapper_config_from_cfg(cfg)
+        self.coarse_enabled = bool(cfg['coarse']) and nice
+        if self.coarse_enabled:
+            self.coarse_mcfg = mapper_config_from_cfg(cfg, coarse_mapper=True)
+
+        bound = jnp.asarray(self.gcfg.bound_np)
+        coarse_bound = jnp.asarray(self.gcfg.coarse_bound_np)
+        self.model = SceneModel(
+            kind='nice' if nice else 'imap', decoder=self.dcfg,
+            bound=bound, coarse_bound=coarse_bound if nice else None)
+
+        key = jax.random.PRNGKey(seed)
+        k_grid, k_dec, self.key = jax.random.split(key, 3)
+        self.np_rng = np.random.default_rng(seed)
+
+        if nice:
+            self.grids = init_grids(k_grid, self.gcfg)
+            params = init_nice_decoders(k_dec, self.dcfg)
+            pre = cfg.get('pretrained_decoders') or {}
+            params = self._maybe_load_pretrain(params, pre)
+            trainable_keys = set()
+            if not self.mcfg.fix_fine:
+                trainable_keys.add('fine')
+            if not self.mcfg.fix_color:
+                trainable_keys.add('color')
+            if self.mcfg.train_middle:
+                trainable_keys.add('middle')
+            self.opt_dec = {k: params[k] for k in sorted(trainable_keys)}
+            self.frozen_dec = {k: v for k, v in params.items()
+                               if k not in trainable_keys}
+        else:
+            self.grids = {}
+            self.opt_dec = {'imap': init_imap_decoder(k_dec, self.dcfg)}
+            self.frozen_dec = {}
+
+        self.frame_reader = frame_reader
+        if frame_reader is None:
+            from nice_slam_tpu.io.datasets import get_dataset
+            self.frame_reader = get_dataset(cfg, input_folder)
+        self.n_img = len(self.frame_reader)
+
+        self.estimate_c2w = np.zeros((self.n_img, 4, 4), dtype=np.float32)
+        self.gt_c2w = np.zeros((self.n_img, 4, 4), dtype=np.float32)
+        self.keyframes = KeyframeStore()
+        self.coarse_keyframes = KeyframeStore()
+        self._kf_device: dict[int, tuple[jnp.ndarray, jnp.ndarray]] = {}
+
+        # grid-node coordinates for the frustum masks, resident on device
+        if nice:
+            self._grid_points = {
+                name: jnp.asarray(
+                    grid_world_coords(self.gcfg, name).reshape(-1, 3))
+                for name in self.grids}
+            self._grid_shapes = grid_shapes(self.gcfg)
+
+        self._track_fn = None
+        self._map_fns: dict[tuple, Any] = {}
+        self.timers = PhaseTimers()
+        self.mapping_idx = -1
+        self.selected_keyframes: dict[int, list] = {}
+
+        # cadences (mapping.*, NICE_SLAM wiring)
+        m = cfg['mapping']
+        self.ckpt_freq = int(m.get('ckpt_freq', 500))
+        self.mesh_freq = int(m.get('mesh_freq', 50))
+        self.no_mesh_first = bool(m.get('no_mesh_on_first_frame', True))
+        self.no_log_first = bool(m.get('no_log_on_first_frame', True))
+        self.gt_camera = bool(cfg['tracking'].get('gt_camera', False))
+        self.mesher = None       # attached lazily (mesh/mesher.py)
+        self.visualizer = None   # attached lazily (utils/visualizer.py)
+
+    # ------------------------------------------------------------------
+    # pretrained decoder import
+    # ------------------------------------------------------------------
+
+    def _maybe_load_pretrain(self, params, pre_cfg: dict):
+        """Load ConvONet-pretrained middle/fine (and coarse) decoders when
+        the checkpoint files exist (NICE_SLAM.py:210-241); silently keep the
+        random init otherwise (the from-scratch fallback — the reference
+        checkout ships no blobs)."""
+        mf = pre_cfg.get('middle_fine')
+        if mf and os.path.exists(mf):
+            from nice_slam_tpu.models.pretrain import load_torch_pretrain
+            params = load_torch_pretrain(params, pre_cfg,
+                                         coarse=self.dcfg.coarse)
+            if self.verbose:
+                print('INFO: loaded pretrained decoders')
+        return params
+
+    # ------------------------------------------------------------------
+    # helpers
+    # ------------------------------------------------------------------
+
+    def _device_frame(self, idx, color_np, depth_np):
+        if idx not in self._kf_device:
+            self._kf_device[idx] = (jnp.asarray(color_np),
+                                    jnp.asarray(depth_np))
+        return self._kf_device[idx]
+
+    def _cam7(self, c2w_np: np.ndarray) -> jnp.ndarray:
+        return tensor_from_c2w(jnp.asarray(c2w_np[:3, :4]))
+
+    def full_dec_params(self):
+        if not self.nice:
+            return self.opt_dec['imap']
+        return {**self.frozen_dec, **self.opt_dec}
+
+    # ------------------------------------------------------------------
+    # tracking
+    # ------------------------------------------------------------------
+
+    def track(self, idx: int, color_np, depth_np, gt_c2w_np) -> np.ndarray:
+        """Track one frame; returns the estimated 4x4 c2w
+        (Tracker.run :151-299)."""
+        t0 = time.perf_counter()
+        color, depth = self._device_frame(idx, color_np, depth_np)
+
+        if idx == 0 or self.gt_camera:
+            c2w = gt_c2w_np
+        else:
+            pre = self.estimate_c2w[idx - 1]
+            if self.tcfg.const_speed and idx >= 2:
+                guess = np.asarray(const_speed_init(
+                    jnp.asarray(pre), jnp.asarray(self.estimate_c2w[idx - 2])))
+            else:
+                guess = pre
+            cam7 = self._cam7(guess)
+
+            if self._track_fn is None:
+                self._track_fn = make_track_frame(
+                    model=self.model, rcfg=self.rcfg, tcfg=self.tcfg,
+                    intr=self.intr)
+            self.key, sub = jax.random.split(self.key)
+            best_cam7, _, losses = self._track_fn(
+                self.full_dec_params(), self.grids if self.nice else None,
+                color, depth, cam7, sub)
+            c2w = np.eye(4, dtype=np.float32)
+            c2w[:3, :4] = np.asarray(c2w_from_tensor_4x4(best_cam7))[:3, :4]
+            if self.verbose:
+                l0, l1 = float(losses[0]), float(losses[-1])
+                print(f'Tracking frame {idx}: loss {l0:.2f} -> {l1:.2f}')
+
+        self.estimate_c2w[idx] = c2w
+        self.gt_c2w[idx] = gt_c2w_np
+        self.timers.track_s += time.perf_counter() - t0
+        self.timers.frames_tracked += 1
+        return c2w
+
+    # ------------------------------------------------------------------
+    # mapping
+    # ------------------------------------------------------------------
+
+    def _select_window(self, store: KeyframeStore, mcfg: MapperConfig,
+                       window_size: int, idx, color_np, depth_np, cur_c2w):
+        """Window = selected keyframes + newest keyframe + current frame
+        (Mapper.py:321-338).  Returns (kf_positions, oldest_pos)."""
+        if len(store) == 0:
+            return [], None
+        k = window_size - 2
+        if mcfg.keyframe_selection == 'global':
+            sel = store.select_global(self.np_rng, k)
+        else:
+            sel = store.select_overlap(
+                self.np_rng, k, depth_np, cur_c2w, self.intr)
+        sel = sel + [len(store) - 1]
+        oldest = min(sel)
+        return sel, oldest
+
+    def _frustum_masks(self, cur_c2w, depth_dev):
+        masks = {}
+        c2w_dev = jnp.asarray(cur_c2w)
+        for name in self.grids:
+            nx, ny, nz = self._grid_shapes[name]
+            if name == 'coarse':
+                masks[name] = jnp.ones((nx, ny, nz, 1), jnp.float32)
+            else:
+                m = frustum_mask(self._grid_points[name], c2w_dev,
+                                 depth_dev, self.intr)
+                masks[name] = m.reshape(nx, ny, nz, 1)
+        return masks
+
+    def map_frame(self, idx: int, color_np, depth_np, gt_c2w_np, *,
+                  coarse: bool = False, first: bool = False) -> None:
+        """One mapping invocation (Mapper.run :671-806)."""
+        t0 = time.perf_counter()
+        mcfg = self.coarse_mcfg if coarse else self.mcfg
+        store = self.coarse_keyframes if coarse else self.keyframes
+        color, depth = self._device_frame(idx, color_np, depth_np)
+        cur_c2w = self.estimate_c2w[idx].copy()
+
+        refine = (idx == self.n_img - 1 and mcfg.color_refine
+                  and not coarse and not first)
+        window_size = mcfg.window_size
+        fix_color = mcfg.fix_color
+        frustum_on = mcfg.frustum_selection and self.nice
+        middle_ratio, fine_ratio = mcfg.middle_iter_ratio, mcfg.fine_iter_ratio
+        if refine:
+            outer_iters = 5
+            window_size = mcfg.window_size * 2
+            middle_ratio = fine_ratio = 0.0
+            n_iters = mcfg.iters * 5 // outer_iters
+            fix_color = True
+            frustum_on = False
+            lr_factor = mcfg.lr_factor
+        elif first:
+            outer_iters = 1
+            n_iters = mcfg.iters_first
+            lr_factor = mcfg.lr_first_factor
+        else:
+            outer_iters = 1 if self.nice else 3
+            n_iters = mcfg.iters // outer_iters
+            lr_factor = mcfg.lr_factor
+
+        mcfg_eff = mcfg._replace(middle_iter_ratio=middle_ratio,
+                                 fine_iter_ratio=fine_ratio,
+                                 fix_color=fix_color)
+
+        for outer in range(outer_iters):
+            ba = (len(store) > 4) and mcfg.ba and not coarse
+            sel, oldest = self._select_window(
+                store, mcfg_eff, window_size, idx, color_np, depth_np,
+                cur_c2w)
+
+            # build window arrays: selected keyframes then the current frame
+            colors, depths, cam7s, cam_mask = [], [], [], []
+            for pos in sel:
+                kf = store.frames[pos]
+                c_dev, d_dev = self._device_frame(kf.idx, kf.color, kf.depth)
+                colors.append(c_dev)
+                depths.append(d_dev)
+                cam7s.append(self._cam7(kf.est_c2w))
+                cam_mask.append(0.0 if pos == oldest else 1.0)
+            colors.append(color)
+            depths.append(depth)
+            cam7s.append(self._cam7(cur_c2w))
+            cam_mask.append(1.0)
+            n_frames = len(colors)
+            if not ba:
+                cam_mask = [0.0] * n_frames
+
+            pix_per_frame = mcfg.pixels // n_frames
+            masks = (self._frustum_masks(cur_c2w, depth)
+                     if frustum_on else None)
+
+            # decoder trainability for this call (color_refine freezes color)
+            opt_dec = dict(self.opt_dec)
+            if fix_color and 'color' in opt_dec:
+                self.frozen_dec = {**self.frozen_dec,
+                                   'color': opt_dec.pop('color')}
+
+            cache_key = (coarse, n_frames, n_iters, pix_per_frame,
+                         frustum_on, tuple(sorted(opt_dec)))
+            if cache_key not in self._map_fns:
+                self._map_fns[cache_key] = make_map_step(
+                    model=self.model, rcfg=self.rcfg, mcfg=mcfg_eff,
+                    intr=self.intr, n_frames=n_frames, n_iters=n_iters,
+                    pix_per_frame=pix_per_frame)
+            map_fn = self._map_fns[cache_key]
+
+            lr_tab = jnp.asarray(lr_table(
+                mcfg_eff, n_iters, lr_factor, self.nice, ba))
+            stage_idx = jnp.asarray(stage_schedule(
+                mcfg_eff, n_iters, self.nice))
+
+            opt_params = {
+                'cams': jnp.stack(cam7s),
+                'grids': self.grids,
+                'dec': opt_dec,
+            }
+            self.key, sub = jax.random.split(self.key)
+            opt_params, losses = map_fn(
+                opt_params, self.frozen_dec, masks, lr_tab, stage_idx,
+                jnp.asarray(cam_mask), jnp.stack(colors), jnp.stack(depths),
+                sub)
+
+            # commit state
+            self.grids = opt_params['grids'] if self.nice else {}
+            for k in opt_dec:
+                self.opt_dec[k] = opt_params['dec'][k]
+            if ba:
+                new_cams = np.asarray(
+                    c2w_from_tensor_4x4(opt_params['cams']))
+                for slot, pos in enumerate(sel):
+                    if pos != oldest:
+                        store.frames[pos].est_c2w = new_cams[slot]
+                cur_c2w = new_cams[-1]
+                self.estimate_c2w[idx] = cur_c2w
+
+            if self.verbose:
+                tag = 'Coarse mapping' if coarse else 'Mapping'
+                print(f'{tag} frame {idx}: loss {float(losses[0]):.2f} -> '
+                      f'{float(losses[-1]):.2f} ({n_iters} iters, '
+                      f'window {n_frames})')
+
+            # keyframe append on the last outer iteration (Mapper.py:753-758)
+            if outer == outer_iters - 1:
+                if (idx % mcfg.keyframe_every == 0
+                        or idx == self.n_img - 2) \
+                        and idx not in store.indices:
+                    store.append(Keyframe(
+                        idx=idx, color=color_np, depth=depth_np,
+                        est_c2w=cur_c2w.copy(), gt_c2w=np.asarray(gt_c2w_np)))
+
+            self.timers.map_iters += n_iters if not coarse else 0
+
+        dt = time.perf_counter() - t0
+        if coarse:
+            self.timers.coarse_map_s += dt
+        else:
+            self.timers.map_s += dt
+            self.timers.frames_mapped += 1
+            self.mapping_idx = idx
+
+    # ------------------------------------------------------------------
+    # services: checkpoint / mesh
+    # ------------------------------------------------------------------
+
+    def checkpoint_state(self) -> dict:
+        return {
+            'grids': self.grids,
+            'opt_dec': self.opt_dec,
+            'frozen_dec': self.frozen_dec,
+            'estimate_c2w': self.estimate_c2w,
+            'gt_c2w': self.gt_c2w,
+            'keyframes': [vars(kf) for kf in self.keyframes.frames],
+            'coarse_keyframe_indices': self.coarse_keyframes.indices,
+            'mapping_idx': self.mapping_idx,
+        }
+
+    def save_ckpt(self, idx: int) -> str:
+        path = os.path.join(self.output, 'ckpts', f'{idx:05d}.ckpt')
+        save_checkpoint(path, self.checkpoint_state())
+        if self.verbose:
+            print(f'INFO: checkpoint saved to {path}')
+        return path
+
+    def restore(self, state: dict) -> int:
+        """Resume from `checkpoint_state()` output; returns the next frame
+        index to process (extension over the reference, which cannot
+        resume)."""
+        self.grids = {k: jnp.asarray(v) for k, v in state['grids'].items()}
+        self.opt_dec = jax.tree.map(jnp.asarray, state['opt_dec'])
+        self.frozen_dec = jax.tree.map(jnp.asarray, state['frozen_dec'])
+        self.estimate_c2w = np.asarray(state['estimate_c2w'])
+        self.gt_c2w = np.asarray(state['gt_c2w'])
+        self.keyframes = KeyframeStore(
+            [Keyframe(**kf) for kf in state['keyframes']])
+        for kf_idx in state.get('coarse_keyframe_indices', []):
+            for kf in self.keyframes.frames:
+                if kf.idx == kf_idx:
+                    self.coarse_keyframes.append(kf)
+        self.mapping_idx = int(state['mapping_idx'])
+        return self.mapping_idx + 1
+
+    def mesh_now(self, idx: int, final: bool = False) -> str | None:
+        if self.mesher is None:
+            return None
+        t0 = time.perf_counter()
+        name = 'final_mesh.ply' if final else f'{idx:05d}_mesh.ply'
+        path = os.path.join(self.output, 'mesh', name)
+        self.mesher.extract(
+            path, self.full_dec_params(), self.grids, self.keyframes,
+            self.estimate_c2w, idx)
+        self.timers.mesh_s += time.perf_counter() - t0
+        return path
+
+    # ------------------------------------------------------------------
+    # main loop
+    # ------------------------------------------------------------------
+
+    def step(self, idx: int) -> None:
+        """Process one frame under the strict schedule."""
+        _, color_np, depth_np, gt_c2w_np = self.frame_reader[idx]
+        if idx == 0:
+            self.estimate_c2w[0] = gt_c2w_np
+            self.gt_c2w[0] = gt_c2w_np
+            self.track(0, color_np, depth_np, gt_c2w_np)
+            self.map_frame(0, color_np, depth_np, gt_c2w_np, first=True)
+            if self.coarse_enabled:
+                self.map_frame(0, color_np, depth_np, gt_c2w_np,
+                               coarse=True, first=True)
+        else:
+            self.track(idx, color_np, depth_np, gt_c2w_np)
+            if idx % self.mcfg.every_frame == 0 or idx == self.n_img - 1:
+                if self.coarse_enabled:
+                    self.map_frame(idx, color_np, depth_np, gt_c2w_np,
+                                   coarse=True)
+                self.map_frame(idx, color_np, depth_np, gt_c2w_np)
+
+        # services at mapping cadence (Mapper.py:769-802)
+        mapped = (idx == 0 or idx % self.mcfg.every_frame == 0
+                  or idx == self.n_img - 1)
+        if mapped:
+            if ((idx % self.ckpt_freq == 0
+                 and not (idx == 0 and self.no_log_first))
+                    or idx == self.n_img - 1):
+                self.save_ckpt(idx)
+            if (idx % self.mesh_freq == 0
+                    and not (idx == 0 and self.no_mesh_first)):
+                self.mesh_now(idx)
+            if idx == self.n_img - 1:
+                self.mesh_now(idx, final=True)
+
+        # release the device copy of non-keyframe images
+        if idx not in self.keyframes.indices and idx in self._kf_device:
+            del self._kf_device[idx]
+
+    def run(self) -> None:
+        for idx in range(self.n_img):
+            self.step(idx)
+        if self.verbose:
+            print('INFO: run complete:', self.timers.summary())

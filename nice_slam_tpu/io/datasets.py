@@ -1,0 +1,370 @@
+"""RGB-D sequence ingest (L5) — host-side, numpy/cv2.
+
+Functional parity target: /root/reference/src/utils/datasets.py.  Each
+loader yields (index, color [H,W,3] float in [0,1], depth [H,W] float
+meters*scale, c2w [4,4]) with these conventions preserved exactly:
+  * colors read BGR and converted to RGB, /255 (datasets.py:80-91);
+  * depth PNGs divided by `png_depth_scale`, then * scale (:92-96);
+  * optional undistortion applies to color only (:85-88);
+  * optional `crop_size` resize (bilinear color / nearest depth) and
+    `crop_edge` crop (:97-110);
+  * every pose loader flips the y and z columns (OpenGL-style camera,
+    :146-147, :184-185, :219-220, :321-322);
+  * pose translations scale with the global `scale` (:112);
+  * TUM: timestamp association with max_dt=0.08, frame-rate 32 subsample,
+    first pose rebased to identity (:262-320);
+  * CoFusion: EXR depth, identity poses (:225-245);
+  * Azure: Open3D .log trajectory or identity (:154-192).
+
+Additions over the reference: a `synthetic` dataset (an analytic box room
+rendered to RGB-D) used by the test-suite and benchmarks — the reference
+has no runnable fixture at all (SURVEY.md §4).
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import numpy as np
+
+try:
+    import cv2
+except Exception:  # pragma: no cover - cv2 is present in the target image
+    cv2 = None
+
+DATASET_REGISTRY = {}
+
+
+def register(name):
+    def deco(cls):
+        DATASET_REGISTRY[name] = cls
+        return cls
+    return deco
+
+
+def get_dataset(cfg: dict, input_folder: str | None = None,
+                scale: float | None = None):
+    scale = cfg.get('scale', 1.0) if scale is None else scale
+    return DATASET_REGISTRY[cfg['dataset']](cfg, input_folder, scale)
+
+
+def _intrinsics_matrix(fx, fy, cx, cy):
+    k = np.eye(3)
+    k[0, 0], k[1, 1], k[0, 2], k[1, 2] = fx, fy, cx, cy
+    return k
+
+
+class BaseDataset:
+    """Index-addressable frame reader."""
+
+    def __init__(self, cfg: dict, input_folder: str | None, scale: float):
+        cam = cfg['cam']
+        self.name = cfg['dataset']
+        self.scale = scale
+        self.png_depth_scale = cam.get('png_depth_scale', 1000.0)
+        self.H, self.W = cam['H'], cam['W']
+        self.fx, self.fy = cam['fx'], cam['fy']
+        self.cx, self.cy = cam['cx'], cam['cy']
+        self.distortion = (np.array(cam['distortion'])
+                           if 'distortion' in cam else None)
+        self.crop_size = cam.get('crop_size')
+        self.crop_edge = int(cam.get('crop_edge', 0))
+        self.input_folder = (input_folder if input_folder is not None
+                             else cfg['data']['input_folder'])
+        self.color_paths: list[str] = []
+        self.depth_paths: list[str] = []
+        self.poses: list[np.ndarray] = []
+
+    def __len__(self):
+        return self.n_img
+
+    def _read_depth(self, path: str) -> np.ndarray:
+        if path.endswith('.exr'):
+            return _read_exr_depth(path)
+        d = cv2.imread(path, cv2.IMREAD_UNCHANGED)
+        return d.astype(np.float32) / self.png_depth_scale
+
+    def __getitem__(self, index: int):
+        color = cv2.imread(self.color_paths[index])
+        depth = self._read_depth(self.depth_paths[index])
+        if self.distortion is not None:
+            k = _intrinsics_matrix(self.fx, self.fy, self.cx, self.cy)
+            color = cv2.undistort(color, k, self.distortion)
+        color = cv2.cvtColor(color, cv2.COLOR_BGR2RGB).astype(np.float32)
+        color = color / 255.0
+        depth = depth.astype(np.float32) * self.scale
+        h, w = depth.shape
+        if color.shape[:2] != (h, w):
+            color = cv2.resize(color, (w, h))
+        if self.crop_size is not None:
+            ch, cw = self.crop_size
+            color = cv2.resize(color, (cw, ch), interpolation=cv2.INTER_LINEAR)
+            depth = cv2.resize(depth, (cw, ch),
+                               interpolation=cv2.INTER_NEAREST)
+        e = self.crop_edge
+        if e > 0:
+            color = color[e:-e, e:-e]
+            depth = depth[e:-e, e:-e]
+        pose = self.poses[index].copy()
+        pose[:3, 3] *= self.scale
+        return index, color, depth, pose.astype(np.float32)
+
+
+def _flip_yz(c2w: np.ndarray) -> np.ndarray:
+    out = c2w.copy()
+    out[:3, 1] *= -1
+    out[:3, 2] *= -1
+    return out
+
+
+def _read_exr_depth(filename: str) -> np.ndarray:
+    """CoFusion depth is EXR; decode via OpenCV's EXR codec (the reference
+    used the OpenEXR package, datasets.py:12-44)."""
+    os.environ.setdefault('OPENCV_IO_ENABLE_OPENEXR', '1')
+    d = cv2.imread(filename, cv2.IMREAD_ANYCOLOR | cv2.IMREAD_ANYDEPTH)
+    if d is None:
+        raise IOError(f'cannot read EXR depth: {filename}')
+    if d.ndim == 3:
+        d = d[..., 0]
+    return d.astype(np.float32)
+
+
+@register('replica')
+class Replica(BaseDataset):
+    def __init__(self, cfg, input_folder, scale):
+        super().__init__(cfg, input_folder, scale)
+        self.color_paths = sorted(
+            glob.glob(f'{self.input_folder}/results/frame*.jpg'))
+        self.depth_paths = sorted(
+            glob.glob(f'{self.input_folder}/results/depth*.png'))
+        self.n_img = len(self.color_paths)
+        with open(f'{self.input_folder}/traj.txt') as f:
+            lines = f.readlines()
+        self.poses = [
+            _flip_yz(np.array(list(map(float, lines[i].split())),
+                              dtype=np.float64).reshape(4, 4))
+            for i in range(self.n_img)]
+
+
+@register('scannet')
+class ScanNet(BaseDataset):
+    def __init__(self, cfg, input_folder, scale):
+        super().__init__(cfg, input_folder, scale)
+        root = os.path.join(self.input_folder, 'frames')
+        bynum = lambda p: int(os.path.basename(p).split('.')[0])
+        self.color_paths = sorted(
+            glob.glob(os.path.join(root, 'color', '*.jpg')), key=bynum)
+        self.depth_paths = sorted(
+            glob.glob(os.path.join(root, 'depth', '*.png')), key=bynum)
+        pose_paths = sorted(
+            glob.glob(os.path.join(root, 'pose', '*.txt')), key=bynum)
+        self.poses = []
+        for p in pose_paths:
+            mat = np.loadtxt(p).reshape(4, 4)
+            self.poses.append(_flip_yz(mat))
+        self.n_img = len(self.color_paths)
+
+
+@register('cofusion')
+class CoFusion(BaseDataset):
+    def __init__(self, cfg, input_folder, scale):
+        super().__init__(cfg, input_folder, scale)
+        self.color_paths = sorted(
+            glob.glob(os.path.join(self.input_folder, 'colour', '*.png')))
+        self.depth_paths = sorted(
+            glob.glob(os.path.join(self.input_folder, 'depth_noise', '*.exr')))
+        self.n_img = len(self.color_paths)
+        # CoFusion's frame has no usable alignment; identity proxies are fine
+        # for ATE (trajectories are aligned before scoring), datasets.py:237-245
+        self.poses = [np.eye(4) for _ in range(self.n_img)]
+
+
+@register('azure')
+class Azure(BaseDataset):
+    def __init__(self, cfg, input_folder, scale):
+        super().__init__(cfg, input_folder, scale)
+        self.color_paths = sorted(
+            glob.glob(os.path.join(self.input_folder, 'color', '*.jpg')))
+        self.depth_paths = sorted(
+            glob.glob(os.path.join(self.input_folder, 'depth', '*.png')))
+        self.n_img = len(self.color_paths)
+        log = os.path.join(self.input_folder, 'scene', 'trajectory.log')
+        self.poses = []
+        if os.path.exists(log):
+            with open(log) as f:
+                content = f.readlines()
+            for i in range(0, len(content), 5):
+                mat = np.array(
+                    list(map(float,
+                             ''.join(content[i + 1:i + 5]).split()))
+                ).reshape(4, 4)
+                self.poses.append(_flip_yz(mat))
+        else:
+            self.poses = [np.eye(4) for _ in range(self.n_img)]
+
+
+@register('tumrgbd')
+class TumRGBD(BaseDataset):
+    def __init__(self, cfg, input_folder, scale, frame_rate: int = 32):
+        super().__init__(cfg, input_folder, scale)
+        root = self.input_folder
+        pose_file = os.path.join(root, 'groundtruth.txt')
+        if not os.path.isfile(pose_file):
+            pose_file = os.path.join(root, 'pose.txt')
+        images = np.loadtxt(os.path.join(root, 'rgb.txt'), dtype=str)
+        depths = np.loadtxt(os.path.join(root, 'depth.txt'), dtype=str)
+        posesd = np.loadtxt(pose_file, dtype=np.float64, skiprows=1)
+
+        t_img = images[:, 0].astype(np.float64)
+        t_dep = depths[:, 0].astype(np.float64)
+        t_pose = posesd[:, 0]
+
+        # associate each image to the nearest depth and pose (max_dt 0.08)
+        assoc = []
+        for i, t in enumerate(t_img):
+            j = int(np.argmin(np.abs(t_dep - t)))
+            k = int(np.argmin(np.abs(t_pose - t)))
+            if abs(t_dep[j] - t) < 0.08 and abs(t_pose[k] - t) < 0.08:
+                assoc.append((i, j, k))
+
+        # subsample to the target frame rate
+        keep = [0]
+        for n in range(1, len(assoc)):
+            if t_img[assoc[n][0]] - t_img[assoc[keep[-1]][0]] \
+                    > 1.0 / frame_rate:
+                keep.append(n)
+
+        inv_first = None
+        for n in keep:
+            i, j, k = assoc[n]
+            self.color_paths.append(os.path.join(root, str(images[i, 1])))
+            self.depth_paths.append(os.path.join(root, str(depths[j, 1])))
+            c2w = _pose_from_quat(posesd[k, 1:])
+            if inv_first is None:
+                inv_first = np.linalg.inv(c2w)
+                c2w = np.eye(4)
+            else:
+                c2w = inv_first @ c2w
+            self.poses.append(_flip_yz(c2w))
+        self.n_img = len(self.color_paths)
+
+
+def _pose_from_quat(pvec: np.ndarray) -> np.ndarray:
+    """[tx ty tz qx qy qz qw] -> 4x4 (TUM groundtruth convention)."""
+    tx, ty, tz, qx, qy, qz, qw = pvec[:7]
+    n = qw * qw + qx * qx + qy * qy + qz * qz
+    s = 2.0 / n
+    rot = np.array([
+        [1 - s * (qy * qy + qz * qz), s * (qx * qy - qz * qw),
+         s * (qx * qz + qy * qw)],
+        [s * (qx * qy + qz * qw), 1 - s * (qx * qx + qz * qz),
+         s * (qy * qz - qx * qw)],
+        [s * (qx * qz - qy * qw), s * (qy * qz + qx * qw),
+         1 - s * (qx * qx + qy * qy)],
+    ])
+    pose = np.eye(4)
+    pose[:3, :3] = rot
+    pose[:3, 3] = (tx, ty, tz)
+    return pose
+
+
+@register('synthetic')
+class SyntheticBox(BaseDataset):
+    """Analytic box-room RGB-D sequence for tests/benchmarks.
+
+    A camera orbits inside an axis-aligned box; depth is the exact ray/box
+    exit distance and color is a smooth function of the hit point, so SLAM
+    quality is measurable without any downloaded data.
+    """
+
+    def __init__(self, cfg, input_folder, scale):
+        super().__init__(cfg, input_folder, scale)
+        syn = cfg.get('synthetic', {})
+        self.n_img = int(syn.get('n_frames', 40))
+        self.box = np.array(syn.get('box', [[-3, 3], [-2.5, 2.5], [-2, 2]]),
+                            dtype=np.float64)
+        radius = float(syn.get('radius', 0.8))
+        # per-frame angular step; default ~0.02 rad keeps inter-frame motion
+        # in the few-cm range of real handheld RGB-D sequences
+        step = float(syn.get('step', 0.02))
+        # multiplicative depth noise sigma (fraction of depth), mimicking a
+        # real RGB-D sensor so fits can't collapse to zero variance
+        self.noise = float(syn.get('noise', 0.003))
+        self.poses = []
+        for t in range(self.n_img):
+            ang = step * t
+            c2w = np.eye(4)
+            cy, sy = np.cos(ang * 0.5), np.sin(ang * 0.5)
+            c2w[:3, :3] = np.array([[cy, 0, sy], [0, 1, 0], [-sy, 0, cy]])
+            c2w[:3, 3] = [radius * np.cos(ang), 0.05 * np.sin(ang),
+                          radius * np.sin(ang)]
+            self.poses.append(c2w)
+
+    def __getitem__(self, index: int):
+        pose = self.poses[index].copy()
+        color, depth = render_box_frame(
+            pose, self.H, self.W, self.fx, self.fy, self.cx, self.cy,
+            self.box)
+        if self.noise > 0:
+            rng = np.random.default_rng(1000 + index)
+            depth = depth * (1.0 + self.noise
+                             * rng.standard_normal(depth.shape))
+            color = np.clip(
+                color + 3 * self.noise * rng.standard_normal(color.shape),
+                0.0, 1.0)
+        pose[:3, 3] *= self.scale
+        return (index, color.astype(np.float32),
+                depth.astype(np.float32) * self.scale,
+                pose.astype(np.float32))
+
+
+def default_obstacles(box):
+    """A few interior boxes so depth varies with every pose axis (a bare
+    room's flat walls leave x/y translation depth-unobservable, which makes
+    tracking tests meaningless)."""
+    lo = box[:, 0]
+    ext = box[:, 1] - box[:, 0]
+
+    def rel(a, b):
+        return lo + np.asarray(a) * ext, lo + np.asarray(b) * ext
+
+    return [np.stack(rel([0.10, 0.05, 0.05], [0.35, 0.55, 0.30]), axis=1),
+            np.stack(rel([0.60, 0.10, 0.55], [0.85, 0.40, 0.80]), axis=1),
+            np.stack(rel([0.40, 0.55, 0.15], [0.60, 0.90, 0.40]), axis=1)]
+
+
+def render_box_frame(c2w, h, w, fx, fy, cx, cy, box, obstacles=None):
+    """Exact RGB-D of the inside of a box room with interior box obstacles
+    (camera along -z, y up)."""
+    if obstacles is None:
+        obstacles = default_obstacles(box)
+    jj, ii = np.meshgrid(np.arange(h, dtype=np.float64),
+                         np.arange(w, dtype=np.float64), indexing='ij')
+    dirs = np.stack([(ii - cx) / fx, -(jj - cy) / fy, -np.ones_like(ii)],
+                    axis=-1)
+    rays_d = dirs @ c2w[:3, :3].T
+    rays_o = c2w[:3, 3]
+    with np.errstate(divide='ignore', invalid='ignore'):
+        t = (box[None, None, :, :] - rays_o[None, None, :, None]) / \
+            rays_d[..., :, None]                       # [h, w, 3, 2]
+        t_hit = np.min(np.max(t, axis=-1), axis=-1)    # room-wall exit
+        for ob in obstacles:
+            tb = (ob[None, None, :, :] - rays_o[None, None, :, None]) / \
+                rays_d[..., :, None]
+            t_near = np.max(np.min(tb, axis=-1), axis=-1)
+            t_far = np.min(np.max(tb, axis=-1), axis=-1)
+            hits = (t_near <= t_far) & (t_near > 1e-6)
+            t_hit = np.where(hits, np.minimum(t_hit, t_near), t_hit)
+    # rays_d has z-component -1 in camera frame, so the ray parameter t IS
+    # the z-buffer depth the sensor would report
+    depth = t_hit
+    hit = rays_o + rays_d * t_hit[..., None]
+    ext = box[:, 1] - box[:, 0]
+    u = (hit - box[:, 0]) / ext
+    color = np.stack([
+        0.5 + 0.5 * np.sin(11.0 * u[..., 0]) * np.cos(9.0 * u[..., 1]),
+        0.5 + 0.5 * np.sin(7.0 * u[..., 1] + 1.0) * np.cos(5.0 * u[..., 0]),
+        0.5 + 0.5 * np.cos(13.0 * u[..., 2] + 2.0 * u[..., 0]),
+    ], axis=-1)
+    return np.clip(color, 0, 1), depth

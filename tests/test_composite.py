@@ -58,3 +58,24 @@ def test_empty_space_zero_weight():
     depth, var, rgb, w = composite_rays(raw, z, rays_d, occupancy=True)
     assert float(jnp.sum(w)) < 1e-4
     assert float(depth[0]) < 1e-3
+
+
+def test_saturated_ray_gradients_finite_under_jit():
+    """Several consecutive saturated (alpha=1) samples underflow the
+    transmittance to 0; gradients must stay finite in the compiled program.
+    Regression test for the NaN the log-space formulation produced under XLA
+    fusion (and naive sigmoid overflow before that)."""
+    import jax
+
+    occ = jnp.array([[-40.0] * 19 + [100.0] * 5, [100.0] * 24])
+    z = jnp.broadcast_to(jnp.linspace(0.02, 2.1, 24), (2, 24))
+    rays_d = jnp.ones((2, 3))
+
+    def loss(o):
+        raw = jnp.concatenate(
+            [jnp.zeros(o.shape + (3,)), o[..., None]], axis=-1)
+        depth, var, rgb, w = composite_rays(raw, z, rays_d, occupancy=True)
+        return jnp.sum(depth) + jnp.sum(w) + jnp.sum(var)
+
+    g = jax.jit(jax.grad(loss))(occ)
+    assert bool(jnp.isfinite(g).all()), g

@@ -1,0 +1,111 @@
+"""Engine integration tests on the synthetic box scene (CPU).
+
+Milestones 2-4 of SURVEY.md §7.2: first-frame map fitting, tracking pose
+recovery, and a short end-to-end strict-schedule run.
+"""
+
+import numpy as np
+import pytest
+
+from tests.util import make_test_cfg
+
+
+@pytest.fixture(scope='module')
+def slam_after_first_map():
+    from nice_slam_tpu.engine.slam import SlamSystem
+    cfg = make_test_cfg()
+    slam = SlamSystem(cfg, nice=True, output='/tmp/nstpu_test_first')
+    slam.step(0)
+    return slam
+
+
+def test_first_frame_mapping_reduces_depth_error(slam_after_first_map):
+    """After iters_first mapping the rendered depth should approach the
+    sensor depth of frame 0 (the reference's 1500-iter bootstrap,
+    Mapper.py:729-732)."""
+    import jax.numpy as jnp
+    from nice_slam_tpu.core.cameras import rays_from_uv
+    from nice_slam_tpu.render.renderer import render_rays
+
+    slam = slam_after_first_map
+    _, color, depth, c2w = slam.frame_reader[0]
+    rng = np.random.default_rng(0)
+    ii = rng.integers(5, slam.intr.W - 5, 200).astype(np.float32)
+    jj = rng.integers(5, slam.intr.H - 5, 200).astype(np.float32)
+    o, d = rays_from_uv(jnp.asarray(ii), jnp.asarray(jj),
+                        jnp.asarray(c2w), slam.intr)
+    dgt = depth[jj.astype(int), ii.astype(int)]
+    dep, var, col, _ = render_rays(
+        slam.full_dec_params(), slam.grids, o, d, stage='color',
+        model=slam.model, rcfg=slam.rcfg, gt_depth=jnp.asarray(dgt))
+    err = np.abs(np.asarray(dep) - dgt)
+    assert np.median(err) < 0.08, f'median depth err {np.median(err):.3f}'
+
+
+def test_tracking_recovers_perturbed_pose(slam_after_first_map):
+    """Render-based tracking should pull a perturbed pose back toward the
+    truth on the mapped frame (milestone 3)."""
+    import jax.numpy as jnp
+    slam = slam_after_first_map
+    _, color, depth, c2w = slam.frame_reader[0]
+
+    perturbed = c2w.copy()
+    perturbed[:3, 3] += np.array([0.04, -0.03, 0.02], dtype=np.float32)
+    ang = 0.02
+    rot = np.array([[np.cos(ang), -np.sin(ang), 0],
+                    [np.sin(ang), np.cos(ang), 0],
+                    [0, 0, 1]], dtype=np.float32)
+    perturbed[:3, :3] = perturbed[:3, :3] @ rot
+
+    from nice_slam_tpu.engine.tracker import make_track_frame
+    import jax
+    track_fn = make_track_frame(model=slam.model, rcfg=slam.rcfg,
+                                tcfg=slam.tcfg._replace(iters=30),
+                                intr=slam.intr)
+    cam7 = slam._cam7(perturbed)
+    best_cam7, _, losses = track_fn(
+        slam.full_dec_params(), slam.grids,
+        jnp.asarray(color), jnp.asarray(depth), cam7, jax.random.PRNGKey(1))
+
+    from nice_slam_tpu.core.cameras import c2w_from_tensor_4x4
+    got = np.asarray(c2w_from_tensor_4x4(best_cam7))
+    t_err0 = np.linalg.norm(perturbed[:3, 3] - c2w[:3, 3])
+    t_err = np.linalg.norm(got[:3, 3] - c2w[:3, 3])
+    assert t_err < 0.6 * t_err0, (t_err0, t_err)
+    assert float(losses[-1]) < float(losses[0])
+
+
+def test_short_end_to_end_run():
+    """Strict-schedule run over a few frames: poses stay close to GT on the
+    easy synthetic scene (the Demo-equivalent smoke test)."""
+    from nice_slam_tpu.engine.slam import SlamSystem
+    cfg = make_test_cfg(n_frames=9)
+    slam = SlamSystem(cfg, nice=True, output='/tmp/nstpu_test_e2e')
+    slam.run()
+    # all frames tracked
+    assert slam.timers.frames_tracked == 9
+    # mapped at 0, 4, 8 (every_frame=4 + final frame)
+    assert slam.timers.frames_mapped == 3
+    assert len(slam.keyframes) >= 2  # kf at 0, 4(+7 = n-2)
+    t_err = np.linalg.norm(
+        slam.estimate_c2w[:, :3, 3] - slam.gt_c2w[:, :3, 3], axis=-1)
+    assert np.max(t_err) < 0.02, t_err
+    assert np.mean(t_err) < 0.01, t_err
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    from nice_slam_tpu.engine.slam import SlamSystem
+    from nice_slam_tpu.utils.ckpt import load_checkpoint, save_checkpoint
+    cfg = make_test_cfg(n_frames=5)
+    slam = SlamSystem(cfg, nice=True, output=str(tmp_path))
+    slam.step(0)
+    path = str(tmp_path / 'state.ckpt')
+    save_checkpoint(path, slam.checkpoint_state())
+
+    slam2 = SlamSystem(cfg, nice=True, output=str(tmp_path / 'resume'))
+    nxt = slam2.restore(load_checkpoint(path))
+    assert nxt == 1
+    assert len(slam2.keyframes) == len(slam.keyframes)
+    np.testing.assert_allclose(
+        np.asarray(slam2.grids['middle']), np.asarray(slam.grids['middle']),
+        atol=1e-6)
