@@ -1,0 +1,134 @@
+"""Benchmark: steady-state SLAM throughput at the reference's Replica budget.
+
+Prints ONE JSON line:
+  {"metric": "replica_tracked_fps", "value": ..., "unit": "frames/s",
+   "vs_baseline": ..., ...extras}
+
+Workload (configs/Replica/replica.yaml budgets, BASELINE.md):
+  * tracking: 200 pixels x 10 Adam iters per frame, 680x1200 frame,
+    NICE model (coarse+middle+fine+color), 32+16 samples/ray
+  * mapping: 1000 pixels x 60 iters over a 5-frame window every 5 frames
+
+The headline value is the end-to-end frame rate of the strict schedule
+(tracking every frame + mapping every 5th frame amortized), measured after
+compilation on whatever jax.devices()[0] is (the TPU chip under the driver).
+
+vs_baseline: the reference publishes no throughput table (BASELINE.md); the
+NICE-SLAM paper's reported per-frame optimization times on an RTX 3090 work
+out to ~2.8 fps tracking-only at this budget (external estimate, see
+BASELINE.md). vs_baseline = value / 2.8.
+"""
+
+import json
+import time
+
+import numpy as np
+
+BASELINE_TRACKED_FPS = 2.8  # external estimate; see BASELINE.md
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from nice_slam_tpu.core.cameras import Intrinsics
+    from nice_slam_tpu.engine.mapper import (
+        MapperConfig, lr_table, make_map_step, stage_schedule)
+    from nice_slam_tpu.engine.tracker import TrackerConfig, make_track_frame
+    from nice_slam_tpu.models.decoders import (
+        DecoderConfig, init_nice_decoders)
+    from nice_slam_tpu.models.grids import GridConfig, init_grids, round_bound
+    from nice_slam_tpu.render.renderer import RenderConfig, SceneModel
+
+    # Replica room0-scale scene (configs/Replica/room0.yaml bound)
+    bound = round_bound([[-1.3, 7.4], [-3.1, 3.2], [-1.7, 2.3]], 0.32)
+    gcfg = GridConfig(bound=bound)
+    dcfg = DecoderConfig()
+    rcfg = RenderConfig(n_samples=32, n_surface=16)
+    intr = Intrinsics(H=680, W=1200, fx=600.0, fy=600.0, cx=599.5, cy=339.5)
+    model = SceneModel(kind='nice', decoder=dcfg,
+                      bound=jnp.asarray(gcfg.bound_np),
+                      coarse_bound=jnp.asarray(gcfg.coarse_bound_np))
+
+    key = jax.random.PRNGKey(0)
+    kg, kd, key = jax.random.split(key, 3)
+    grids = init_grids(kg, gcfg)
+    params = init_nice_decoders(kd, dcfg)
+
+    # synthetic frame at Replica resolution
+    rng = np.random.default_rng(0)
+    color = jnp.asarray(rng.random((680, 1200, 3), dtype=np.float32))
+    depth = jnp.asarray(1.0 + 2.0 * rng.random((680, 1200),
+                                               dtype=np.float32))
+    cam7 = jnp.asarray([1.0, 0, 0, 0, 2.0, 0.0, 0.5])
+
+    # ---- tracking: 200 px x 10 iters ----
+    tcfg = TrackerConfig(pixels=200, iters=10)
+    track_fn = make_track_frame(model=model, rcfg=rcfg, tcfg=tcfg, intr=intr)
+    opt_dec = {'fine': params['fine'], 'color': params['color']}
+
+    def run_track(k):
+        best, last, losses = track_fn(params, grids, color, depth, cam7, k)
+        return losses
+
+    jax.block_until_ready(run_track(key))  # compile
+    n_frames = 20
+    t0 = time.perf_counter()
+    for i in range(n_frames):
+        out = run_track(jax.random.fold_in(key, i))
+    jax.block_until_ready(out)
+    track_s_per_frame = (time.perf_counter() - t0) / n_frames
+
+    # ---- mapping: 1000 px x 60 iters, 5-frame window ----
+    n_win, n_iters = 5, 60
+    mcfg = MapperConfig(pixels=1000, iters=n_iters, fix_fine=True,
+                        stage_lr=tuple(
+                            (s, (0.005, 0.001, 0.1, 0.005, 0.005))
+                            for s in ('coarse', 'middle', 'fine', 'color')))
+    map_fn = make_map_step(model=model, rcfg=rcfg, mcfg=mcfg, intr=intr,
+                           n_frames=n_win, n_iters=n_iters,
+                           pix_per_frame=1000 // n_win)
+    opt_params = {
+        'cams': jnp.tile(cam7, (n_win, 1)),
+        'grids': grids,
+        'dec': {'color': params['color']},
+    }
+    frozen = {k: v for k, v in params.items() if k != 'color'}
+    colors = jnp.tile(color[None], (n_win, 1, 1, 1))
+    depths = jnp.tile(depth[None], (n_win, 1, 1))
+    lr_tab = jnp.asarray(lr_table(mcfg, n_iters, 1.0, True, True))
+    stage_idx = jnp.asarray(stage_schedule(mcfg, n_iters, True))
+    cam_mask = jnp.asarray([0.0] + [1.0] * (n_win - 1))
+
+    def run_map(k):
+        out, losses = map_fn(opt_params, frozen, None, lr_tab, stage_idx,
+                             cam_mask, colors, depths, k)
+        return losses
+
+    jax.block_until_ready(run_map(key))  # compile
+    n_calls = 5
+    t0 = time.perf_counter()
+    for i in range(n_calls):
+        out = run_map(jax.random.fold_in(key, 100 + i))
+    jax.block_until_ready(out)
+    map_s_per_call = (time.perf_counter() - t0) / n_calls
+
+    # strict schedule: track every frame, one 60-iter map call per 5 frames
+    s_per_frame = track_s_per_frame + map_s_per_call / 5.0
+    fps = 1.0 / s_per_frame
+    tracked_only_fps = 1.0 / track_s_per_frame
+
+    print(json.dumps({
+        'metric': 'replica_tracked_fps',
+        'value': round(fps, 3),
+        'unit': 'frames/s',
+        'vs_baseline': round(fps / BASELINE_TRACKED_FPS, 3),
+        'tracking_only_fps': round(tracked_only_fps, 3),
+        'track_ms_per_frame': round(track_s_per_frame * 1e3, 2),
+        'map_iters_per_s': round(n_iters / map_s_per_call, 2),
+        'device': str(jax.devices()[0]),
+    }))
+
+
+if __name__ == '__main__':
+    main()

@@ -144,23 +144,16 @@ def _window_rays(cam7s, colors, depths, key, n_frames, pix_per_frame,
     return flat(o), flat(d), flat(dgt), flat(cgt)
 
 
-def make_map_step(*, model: SceneModel, rcfg: RenderConfig,
-                  mcfg: MapperConfig, intr: Intrinsics, n_frames: int,
-                  n_iters: int, pix_per_frame: int):
-    """Build the jitted mapping program for a given window size/iteration
-    count.  Recompiled only when those static sizes change (window growth,
-    first-frame iters, color-refine).
 
-    The returned jitted function:
-      (opt_params, frozen_dec, masks, lr_tab, stage_idx, cam_mask,
-       colors, depths, key) -> (opt_params', losses[n_iters])
-    with
-      opt_params = {'cams': [F, 7], 'grids': {...}, 'dec': {...}}
-      frozen_dec: non-trainable decoder params (merged at eval time)
-      masks: {grid_name: [Nx, Ny, Nz, 1] 0/1} or None (frustum selection)
-      lr_tab: [n_iters, 6]; stage_idx: [n_iters] ints into STAGE_ORDER
-      cam_mask: [F] 0/1 trainable-pose mask (oldest frozen; zeros if no BA)
-      colors: [F, H, W, 3]; depths: [F, H, W].
+def build_stage_losses(*, model: SceneModel, rcfg: RenderConfig,
+                       mcfg: MapperConfig, intr: Intrinsics, n_frames: int,
+                       pix_per_frame: int):
+    """Per-stage mapping loss functions (shared by the single-chip and
+    ray-sharded step builders).
+
+    Returns (branch_stages, [loss_fn...]) where each loss_fn has signature
+    (opt_params, frozen_dec, colors, depths, key) -> scalar loss and is the
+    stage loss of Mapper.py:598-621 over `n_frames * pix_per_frame` rays.
     """
     nice = model.kind == 'nice'
 
@@ -210,7 +203,32 @@ def make_map_step(*, model: SceneModel, rcfg: RenderConfig,
         branch_stages = ('middle', 'fine', 'color')
     else:
         branch_stages = ('color',)
-    grad_fns = [jax.value_and_grad(loss_for_stage(s)) for s in branch_stages]
+    return branch_stages, [loss_for_stage(s) for s in branch_stages]
+
+
+def make_map_step(*, model: SceneModel, rcfg: RenderConfig,
+                  mcfg: MapperConfig, intr: Intrinsics, n_frames: int,
+                  n_iters: int, pix_per_frame: int):
+    """Build the jitted mapping program for a given window size/iteration
+    count.  Recompiled only when those static sizes change (window growth,
+    first-frame iters, color-refine).
+
+    The returned jitted function:
+      (opt_params, frozen_dec, masks, lr_tab, stage_idx, cam_mask,
+       colors, depths, key) -> (opt_params', losses[n_iters])
+    with
+      opt_params = {'cams': [F, 7], 'grids': {...}, 'dec': {...}}
+      frozen_dec: non-trainable decoder params (merged at eval time)
+      masks: {grid_name: [Nx, Ny, Nz, 1] 0/1} or None (frustum selection)
+      lr_tab: [n_iters, 6]; stage_idx: [n_iters] ints into STAGE_ORDER
+      cam_mask: [F] 0/1 trainable-pose mask (oldest frozen; zeros if no BA)
+      colors: [F, H, W, 3]; depths: [F, H, W].
+    """
+    nice = model.kind == 'nice'
+    branch_stages, loss_fns = build_stage_losses(
+        model=model, rcfg=rcfg, mcfg=mcfg, intr=intr, n_frames=n_frames,
+        pix_per_frame=pix_per_frame)
+    grad_fns = [jax.value_and_grad(f) for f in loss_fns]
 
     def map_step(opt_params, frozen_dec, masks, lr_tab, stage_idx, cam_mask,
                  colors, depths, key):
