@@ -220,8 +220,44 @@ class SlamSystem:
         self.no_mesh_first = bool(m.get('no_mesh_on_first_frame', True))
         self.no_log_first = bool(m.get('no_log_on_first_frame', True))
         self.gt_camera = bool(cfg['tracking'].get('gt_camera', False))
-        self.mesher = None       # attached lazily (mesh/mesher.py)
-        self.visualizer = None   # attached lazily (utils/visualizer.py)
+        if nice:
+            from nice_slam_tpu.mesh.mesher import Mesher, MesherConfig
+            me = cfg.get('meshing', {})
+            self.mesher = Mesher(MesherConfig(
+                resolution=int(me.get('resolution', 256)),
+                level_set=float(me.get('level_set', 0.0)),
+                clean_mesh=bool(me.get('clean_mesh', True)),
+                depth_test=bool(me.get('depth_test', False)),
+                mesh_coarse_level=bool(me.get('mesh_coarse_level', False)),
+                clean_mesh_bound_scale=float(
+                    me.get('clean_mesh_bound_scale', 1.02)),
+                get_largest_components=bool(
+                    me.get('get_largest_components', False)),
+                remove_small_geometry_threshold=float(
+                    me.get('remove_small_geometry_threshold', 0.2)),
+                color_mesh_extraction_method=me.get(
+                    'color_mesh_extraction_method', 'direct_point_query'),
+                marching_cubes_bound=tuple(
+                    tuple(b) for b in cfg['mapping'].get(
+                        'marching_cubes_bound', self.gcfg.bound)),
+                scale=float(cfg.get('scale', 1.0)),
+            ), self.model, self.intr)
+        else:
+            self.mesher = None   # iMAP meshing: planned (ray-along-normal
+                                 # color path, Mesher.py:676-695)
+        from nice_slam_tpu.utils.visualizer import Visualizer
+        vis_name = 'vis' if 'Demo' in self.output else 'tracking_vis'
+        self.track_vis = Visualizer(
+            os.path.join(self.output, vis_name),
+            cfg['tracking'].get('vis_freq', 50), model=self.model,
+            rcfg=self.rcfg, intr=self.intr, verbose=self.verbose)
+        self.map_vis = None
+        if 'Demo' not in self.output:
+            self.map_vis = Visualizer(
+                os.path.join(self.output, 'mapping_vis'),
+                cfg['mapping'].get('vis_freq', 50), model=self.model,
+                rcfg=self.rcfg, intr=self.intr, verbose=self.verbose)
+        self.vis_enabled = bool(cfg.get('enable_vis', True))
 
     # ------------------------------------------------------------------
     # pretrained decoder import
@@ -298,6 +334,10 @@ class SlamSystem:
         self.gt_c2w[idx] = gt_c2w_np
         self.timers.track_s += time.perf_counter() - t0
         self.timers.frames_tracked += 1
+        if self.vis_enabled and idx > 0:
+            self.track_vis.vis(idx, 0, depth_np, color_np, c2w,
+                               self.full_dec_params(),
+                               self.grids if self.nice else None)
         return c2w
 
     # ------------------------------------------------------------------
@@ -464,6 +504,11 @@ class SlamSystem:
             self.timers.map_s += dt
             self.timers.frames_mapped += 1
             self.mapping_idx = idx
+            if self.vis_enabled and self.map_vis is not None and idx > 0:
+                self.map_vis.vis(idx, 0, depth_np, color_np,
+                                 self.estimate_c2w[idx],
+                                 self.full_dec_params(),
+                                 self.grids if self.nice else None)
 
     # ------------------------------------------------------------------
     # services: checkpoint / mesh

@@ -1,0 +1,385 @@
+"""Mesh extraction (L5).
+
+Functional parity target: /root/reference/src/utils/Mesher.py.
+  * lattice query: `resolution` points per axis over marching_cubes_bound
+    padded by 0.05 (:431-478); field = fine-stage occupancy; out-of-hull
+    points forced to logit 100 (:563-575).
+  * scene hull (:259-365): the reference TSDF-integrates keyframes with
+    Open3D and takes the convex hull of the result + camera centers, scaled
+    by clean_mesh_bound_scale.  Here the hull is built from back-projected
+    keyframe depth points + camera centers directly (same hull: the TSDF
+    surface is inside the hull of its own input points) using scipy's qhull.
+  * iso-surface: first-party native marching tetrahedra (mesh/native)
+    instead of skimage marching-cubes — watertight shared-vertex output.
+  * cleaning (:611-652): cull faces whose three vertices were never seen by
+    any (key)frame; connected-component filtering (largest, or drop
+    components below an area threshold).
+  * color (:654-695): 'direct_point_query' evaluates the color stage at the
+    vertices (the reference's default method).
+  * forecast path (:519-557): seen-region queried at fine, forecast region
+    at coarse + 0.2 bias, unseen clamped to -100; forecast painted cyan.
+
+TPU split: the field/color queries run on-device in fixed-size jitted
+chunks (the 256^3 = 16.7M-point evaluation is the hot part and can be
+ray-mesh sharded); hull/MT/culling run on host (native C++ / scipy).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from nice_slam_tpu.core.cameras import Intrinsics
+from nice_slam_tpu.mesh.native import marching_tetrahedra
+from nice_slam_tpu.render.renderer import SceneModel, eval_raw
+
+
+class MesherConfig(NamedTuple):
+    """Static meshing parameters (config `meshing.*`,
+    configs/nice_slam.yaml:21-31)."""
+
+    resolution: int = 256
+    level_set: float = 0.0
+    clean_mesh: bool = True
+    depth_test: bool = False
+    mesh_coarse_level: bool = False
+    clean_mesh_bound_scale: float = 1.02
+    get_largest_components: bool = False
+    remove_small_geometry_threshold: float = 0.2
+    color_mesh_extraction_method: str = 'direct_point_query'
+    points_batch: int = 262144
+    marching_cubes_bound: tuple = ()
+    scale: float = 1.0
+
+
+class Mesher:
+    def __init__(self, mcfg: MesherConfig, model: SceneModel,
+                 intr: Intrinsics, *, sharded_mesh=None):
+        self.cfg = mcfg
+        self.model = model
+        self.intr = intr
+        self.sharded_mesh = sharded_mesh
+        self._eval_chunk = jax.jit(
+            lambda params, grids, pts, stage: eval_raw(
+                params, grids, pts, stage, self.model),
+            static_argnames=('stage',))
+
+    # ------------------------------------------------------------------
+    # lattice + field evaluation
+    # ------------------------------------------------------------------
+
+    def lattice(self):
+        """Query lattice: linspace over the padded marching-cubes bound
+        (Mesher.py:431-478), x-major [R, R, R]."""
+        res = self.cfg.resolution
+        b = np.asarray(self.cfg.marching_cubes_bound, dtype=np.float64)
+        pad = 0.05
+        xs = np.linspace(b[0, 0] - pad, b[0, 1] + pad, res)
+        ys = np.linspace(b[1, 0] - pad, b[1, 1] + pad, res)
+        zs = np.linspace(b[2, 0] - pad, b[2, 1] + pad, res)
+        gx, gy, gz = np.meshgrid(xs, ys, zs, indexing='ij')
+        pts = np.stack([gx, gy, gz], axis=-1).reshape(-1, 3)
+        return pts.astype(np.float32), xs, ys, zs
+
+    def eval_field(self, params: Any, grids: Any, points: np.ndarray,
+                   stage: str, column: slice | int = 3) -> np.ndarray:
+        """Chunked on-device evaluation of the decoder at host points."""
+        n = len(points)
+        chunk = self.cfg.points_batch
+        outs = []
+        for i in range(0, n, chunk):
+            p = points[i:i + chunk]
+            pad = chunk - len(p)
+            if pad:
+                p = np.pad(p, ((0, pad), (0, 0)))
+            raw = self._eval_chunk(params, grids, jnp.asarray(p), stage)
+            raw = np.asarray(raw)
+            if pad:
+                raw = raw[:len(points[i:i + chunk])]
+            outs.append(raw[:, column])
+        return np.concatenate(outs, axis=0)
+
+    # ------------------------------------------------------------------
+    # visibility
+    # ------------------------------------------------------------------
+
+    @partial(jax.jit, static_argnames=('self', 'edge', 'use_depth'))
+    def _seen_one_frame(self, pts, c2w, depth, edge: int, use_depth: bool):
+        """Project points into one frame (Mesher.point_masks math,
+        :100-187-style projection, OpenGL camera: forward is -z)."""
+        intr = self.intr
+        w2c = jnp.linalg.inv(c2w)
+        ones = jnp.ones_like(pts[:, :1])
+        cam = (jnp.concatenate([pts, ones], axis=1) @ w2c.T)[:, :3]
+        z = cam[:, 2] + 1e-5
+        u = (intr.fx * (-cam[:, 0]) + intr.cx * z) / z
+        v = (intr.fy * cam[:, 1] + intr.cy * z) / z
+        inb = ((u < intr.W - edge) & (u > edge)
+               & (v < intr.H - edge) & (v > edge) & (z < 0))
+        if use_depth:
+            from nice_slam_tpu.engine.frustum import \
+                bilinear_sample_zero_border
+            sampled = bilinear_sample_zero_border(depth, u, v)
+            proj_depth = -z
+            ok = (proj_depth > 0) & (proj_depth < sampled + 2.4) \
+                & (sampled > 0)
+            inb = inb & ok
+        return inb
+
+    def seen_mask(self, points: np.ndarray, c2ws: list[np.ndarray],
+                  depths: list[np.ndarray] | None, *, edge: int = 0,
+                  use_depth: bool = False) -> np.ndarray:
+        """Union of per-frame visibility over all given frames."""
+        seen = np.zeros((len(points),), dtype=bool)
+        chunk = self.cfg.points_batch
+        for i in range(0, len(points), chunk):
+            p = jnp.asarray(points[i:i + chunk])
+            acc = jnp.zeros((p.shape[0],), dtype=bool)
+            for f, c2w in enumerate(c2ws):
+                d = (jnp.asarray(depths[f]) if use_depth
+                     else jnp.zeros((self.intr.H, self.intr.W)))
+                acc = acc | self._seen_one_frame(
+                    p, jnp.asarray(c2w), d, edge, use_depth)
+            seen[i:i + chunk] = np.asarray(acc)
+        return seen
+
+    # ------------------------------------------------------------------
+    # scene hull
+    # ------------------------------------------------------------------
+
+    def scene_hull(self, keyframes, depth_stride: int = 8):
+        """Convex hull of back-projected keyframe depth + camera centers,
+        scaled by clean_mesh_bound_scale (Mesher.py:259-365 equivalent —
+        see module docstring)."""
+        from scipy.spatial import ConvexHull, Delaunay
+
+        intr = self.intr
+        jj, ii = np.meshgrid(
+            np.arange(0, intr.H, depth_stride, dtype=np.float64),
+            np.arange(0, intr.W, depth_stride, dtype=np.float64),
+            indexing='ij')
+        pts_all = []
+        for kf in keyframes.frames:
+            d = kf.depth[::depth_stride, ::depth_stride].astype(np.float64)
+            valid = d > 0
+            dirs = np.stack([(ii - intr.cx) / intr.fx,
+                             -(jj - intr.cy) / intr.fy,
+                             -np.ones_like(ii)], axis=-1)
+            world = kf.est_c2w[:3, 3] + (dirs @ kf.est_c2w[:3, :3].T) \
+                * d[..., None]
+            pts_all.append(world[valid])
+            pts_all.append(kf.est_c2w[None, :3, 3])
+        cloud = np.concatenate(pts_all, axis=0)
+        hull = ConvexHull(cloud)
+        hull_pts = cloud[hull.vertices] * self.cfg.clean_mesh_bound_scale
+        return Delaunay(hull_pts)
+
+    # ------------------------------------------------------------------
+    # extraction
+    # ------------------------------------------------------------------
+
+    def extract(self, out_file: str, params: Any, grids: Any, keyframes,
+                estimate_c2w: np.ndarray, idx: int, *,
+                show_forecast: bool | None = None, color: bool = True,
+                clean_mesh: bool | None = None,
+                get_mask_use_all_frames: bool = False) -> str | None:
+        """Full get_mesh pipeline (Mesher.py:480-716)."""
+        cfg = self.cfg
+        show_forecast = (cfg.mesh_coarse_level if show_forecast is None
+                         else show_forecast)
+        clean_mesh = cfg.clean_mesh if clean_mesh is None else clean_mesh
+
+        points, xs, ys, zs = self.lattice()
+        kf_c2ws = [kf.est_c2w for kf in keyframes.frames]
+        kf_depths = [kf.depth for kf in keyframes.frames]
+
+        if show_forecast:
+            seen = self.seen_mask(points, kf_c2ws, kf_depths,
+                                  use_depth=cfg.depth_test)
+            forecast = self.seen_mask(points, kf_c2ws, None,
+                                      edge=-1000) & ~seen
+            z = np.full((len(points),), -100.0, dtype=np.float32)
+            if seen.any():
+                z[seen] = self.eval_field(params, grids, points[seen],
+                                          'fine')
+            if forecast.any():
+                z[forecast] = self.eval_field(
+                    params, grids, points[forecast], 'coarse') + 0.2
+        else:
+            if len(keyframes.frames) > 0:
+                tri = self.scene_hull(keyframes)
+                inside = tri.find_simplex(points.astype(np.float64)) >= 0
+            else:
+                inside = np.ones((len(points),), dtype=bool)
+            z = self.eval_field(params, grids, points, 'fine')
+            z[~inside] = 100.0
+            seen = None
+
+        field = z.reshape(cfg.resolution, cfg.resolution, cfg.resolution)
+        verts, tris = marching_tetrahedra(field, xs, ys, zs, cfg.level_set)
+        if len(verts) == 0:
+            print('mesher: no surface crossed the level set')
+            return None
+
+        if clean_mesh:
+            if get_mask_use_all_frames:
+                frames = [estimate_c2w[i] for i in range(idx + 1)]
+                v_seen = self.seen_mask(verts, frames, None,
+                                        use_depth=False)
+            else:
+                v_seen = self.seen_mask(verts, kf_c2ws, kf_depths,
+                                        use_depth=cfg.depth_test)
+            # cull faces whose three vertices are all unseen (:629-638)
+            keep = v_seen[tris].any(axis=1)
+            tris = tris[keep]
+            verts, tris = _compact(verts, tris)
+            verts, tris = _filter_components(
+                verts, tris,
+                largest=cfg.get_largest_components,
+                min_area=cfg.remove_small_geometry_threshold
+                * (self.cfg.scale ** 2))
+
+        colors = None
+        if color and cfg.color_mesh_extraction_method \
+                == 'direct_point_query' and len(verts):
+            rgb = self.eval_field(params, grids, verts.astype(np.float32),
+                                  'color', column=slice(0, 3))
+            colors = (np.clip(rgb, 0, 1) * 255).astype(np.uint8)
+            if show_forecast and seen is not None:
+                v_forecast = ~self.seen_mask(verts, kf_c2ws, kf_depths,
+                                             use_depth=cfg.depth_test)
+                colors[v_forecast] = np.array([0, 255, 255], np.uint8)
+
+        verts = verts / cfg.scale
+        save_ply(out_file, verts, tris, colors)
+        return out_file
+
+
+def _compact(verts: np.ndarray, tris: np.ndarray):
+    """Drop vertices unused by any face and reindex."""
+    used = np.unique(tris)
+    remap = np.full((len(verts),), -1, dtype=np.int64)
+    remap[used] = np.arange(len(used))
+    return verts[used], remap[tris].astype(np.int32)
+
+
+def _filter_components(verts: np.ndarray, tris: np.ndarray, *,
+                       largest: bool, min_area: float):
+    """Connected-component filtering (Mesher.py:640-652): keep the largest
+    component, or drop components below the area threshold."""
+    if len(tris) == 0:
+        return verts, tris
+    from scipy.sparse import coo_matrix
+    from scipy.sparse.csgraph import connected_components
+
+    n = len(verts)
+    e = np.concatenate([tris[:, [0, 1]], tris[:, [1, 2]], tris[:, [0, 2]]])
+    adj = coo_matrix((np.ones(len(e)), (e[:, 0], e[:, 1])), shape=(n, n))
+    n_comp, labels = connected_components(adj, directed=False)
+    if n_comp <= 1:
+        return verts, tris
+
+    face_label = labels[tris[:, 0]]
+    a = verts[tris[:, 1]] - verts[tris[:, 0]]
+    b = verts[tris[:, 2]] - verts[tris[:, 0]]
+    face_area = 0.5 * np.linalg.norm(np.cross(a, b), axis=1)
+    areas = np.bincount(face_label, weights=face_area, minlength=n_comp)
+
+    if largest:
+        keep_labels = {int(np.argmax(areas))}
+    else:
+        keep_labels = {i for i in range(n_comp) if areas[i] >= min_area}
+    keep = np.isin(face_label, list(keep_labels))
+    return _compact(verts, tris[keep])
+
+
+# ---------------------------------------------------------------------------
+# PLY I/O (replaces trimesh export/load for our needs)
+# ---------------------------------------------------------------------------
+
+def save_ply(path: str, verts: np.ndarray, tris: np.ndarray,
+             colors: np.ndarray | None = None) -> None:
+    """Binary little-endian PLY writer."""
+    import struct
+    n_v, n_f = len(verts), len(tris)
+    with open(path, 'wb') as f:
+        hdr = ['ply', 'format binary_little_endian 1.0',
+               f'element vertex {n_v}',
+               'property float x', 'property float y', 'property float z']
+        if colors is not None:
+            hdr += ['property uchar red', 'property uchar green',
+                    'property uchar blue']
+        hdr += [f'element face {n_f}',
+                'property list uchar int vertex_indices', 'end_header']
+        f.write(('\n'.join(hdr) + '\n').encode())
+        if colors is not None:
+            for v, c in zip(verts.astype('<f4'), colors):
+                f.write(v.tobytes())
+                f.write(c.astype(np.uint8).tobytes())
+        else:
+            f.write(verts.astype('<f4').tobytes())
+        counts = np.full((n_f, 1), 3, dtype=np.uint8)
+        body = np.empty((n_f,), dtype=[('n', 'u1'), ('idx', '<i4', 3)])
+        body['n'] = counts[:, 0]
+        body['idx'] = tris.astype('<i4')
+        f.write(body.tobytes())
+
+
+def load_ply(path: str):
+    """Minimal binary/ascii PLY reader for our own files and simple
+    external ones (eval tooling).  Returns (verts, tris)."""
+    with open(path, 'rb') as f:
+        header = []
+        while True:
+            line = f.readline().decode('ascii', 'replace').strip()
+            header.append(line)
+            if line == 'end_header':
+                break
+        n_v = n_f = 0
+        v_props = []
+        fmt = 'binary_little_endian'
+        elem = None
+        for line in header:
+            parts = line.split()
+            if not parts:
+                continue
+            if parts[0] == 'format':
+                fmt = parts[1]
+            elif parts[0] == 'element':
+                elem = parts[1]
+                if elem == 'vertex':
+                    n_v = int(parts[2])
+                elif elem == 'face':
+                    n_f = int(parts[2])
+            elif parts[0] == 'property' and elem == 'vertex' \
+                    and parts[1] != 'list':
+                v_props.append((parts[2], parts[1]))
+
+        type_map = {'float': '<f4', 'float32': '<f4', 'double': '<f8',
+                    'uchar': 'u1', 'uint8': 'u1', 'int': '<i4',
+                    'uint': '<u4', 'short': '<i2', 'ushort': '<u2'}
+        if fmt.startswith('ascii'):
+            verts = np.zeros((n_v, 3), np.float32)
+            for i in range(n_v):
+                vals = f.readline().split()
+                verts[i] = [float(vals[k]) for k in range(3)]
+            tris = np.zeros((n_f, 3), np.int32)
+            for i in range(n_f):
+                vals = f.readline().split()
+                tris[i] = [int(vals[1]), int(vals[2]), int(vals[3])]
+            return verts, tris
+
+        vdt = np.dtype([(name, type_map[t]) for name, t in v_props])
+        vdata = np.frombuffer(f.read(n_v * vdt.itemsize), dtype=vdt,
+                              count=n_v)
+        verts = np.stack([vdata['x'], vdata['y'], vdata['z']],
+                         axis=-1).astype(np.float32)
+        fdt = np.dtype([('n', 'u1'), ('idx', '<i4', 3)])
+        fdata = np.frombuffer(f.read(n_f * fdt.itemsize), dtype=fdt,
+                              count=n_f)
+        tris = fdata['idx'].astype(np.int32)
+        return verts, tris
