@@ -37,7 +37,8 @@ def main():
     from nice_slam_tpu.engine.tracker import TrackerConfig, make_track_frame
     from nice_slam_tpu.models.decoders import (
         DecoderConfig, init_nice_decoders)
-    from nice_slam_tpu.models.grids import GridConfig, init_grids, round_bound
+    from nice_slam_tpu.models.grids import (
+        GridConfig, init_grids, round_bound, static_grid_shapes)
     from nice_slam_tpu.render.renderer import RenderConfig, SceneModel
 
     # Replica room0-scale scene (configs/Replica/room0.yaml bound)
@@ -48,7 +49,8 @@ def main():
     intr = Intrinsics(H=680, W=1200, fx=600.0, fy=600.0, cx=599.5, cy=339.5)
     model = SceneModel(kind='nice', decoder=dcfg,
                       bound=jnp.asarray(gcfg.bound_np),
-                      coarse_bound=jnp.asarray(gcfg.coarse_bound_np))
+                      coarse_bound=jnp.asarray(gcfg.coarse_bound_np),
+                      grid_shapes=static_grid_shapes(gcfg))
 
     key = jax.random.PRNGKey(0)
     kg, kd, key = jax.random.split(key, 3)

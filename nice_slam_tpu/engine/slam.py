@@ -47,7 +47,8 @@ from nice_slam_tpu.engine.tracker import (
 from nice_slam_tpu.models.decoders import (
     init_imap_decoder, init_nice_decoders)
 from nice_slam_tpu.models.grids import (
-    GridConfig, grid_shapes, grid_world_coords, init_grids)
+    GridConfig, grid_shapes, grid_world_coords, init_grids,
+    static_grid_shapes)
 from nice_slam_tpu.render.renderer import RenderConfig, SceneModel
 from nice_slam_tpu.utils import config as cfgutil
 from nice_slam_tpu.utils.ckpt import save_checkpoint
@@ -161,7 +162,8 @@ class SlamSystem:
         coarse_bound = jnp.asarray(self.gcfg.coarse_bound_np)
         self.model = SceneModel(
             kind='nice' if nice else 'imap', decoder=self.dcfg,
-            bound=bound, coarse_bound=coarse_bound if nice else None)
+            bound=bound, coarse_bound=coarse_bound if nice else None,
+            grid_shapes=static_grid_shapes(self.gcfg) if nice else ())
 
         key = jax.random.PRNGKey(seed)
         k_grid, k_dec, self.key = jax.random.split(key, 3)
@@ -220,7 +222,7 @@ class SlamSystem:
         self.no_mesh_first = bool(m.get('no_mesh_on_first_frame', True))
         self.no_log_first = bool(m.get('no_log_on_first_frame', True))
         self.gt_camera = bool(cfg['tracking'].get('gt_camera', False))
-        if nice:
+        if True:
             from nice_slam_tpu.mesh.mesher import Mesher, MesherConfig
             me = cfg.get('meshing', {})
             self.mesher = Mesher(MesherConfig(
@@ -237,14 +239,18 @@ class SlamSystem:
                     me.get('remove_small_geometry_threshold', 0.2)),
                 color_mesh_extraction_method=me.get(
                     'color_mesh_extraction_method', 'direct_point_query'),
+                # the reference scales the MC bound by the global scale
+                # factor (Mesher.__init__)
                 marching_cubes_bound=tuple(
-                    tuple(b) for b in cfg['mapping'].get(
+                    tuple(float(v) * float(cfg.get('scale', 1.0))
+                          for v in b)
+                    for b in cfg['mapping'].get(
                         'marching_cubes_bound', self.gcfg.bound)),
                 scale=float(cfg.get('scale', 1.0)),
-            ), self.model, self.intr)
-        else:
-            self.mesher = None   # iMAP meshing: planned (ray-along-normal
-                                 # color path, Mesher.py:676-695)
+            ), self.model, self.intr, rcfg=self.rcfg)
+        self.eval_rec = bool(cfg.get('meshing', {}).get('eval_rec', False))
+        self.save_selected_keyframes = bool(
+            cfg['mapping'].get('save_selected_keyframes_info', False))
         from nice_slam_tpu.utils.visualizer import Visualizer
         vis_name = 'vis' if 'Demo' in self.output else 'tracking_vis'
         self.track_vis = Visualizer(
@@ -364,13 +370,13 @@ class SlamSystem:
         masks = {}
         c2w_dev = jnp.asarray(cur_c2w)
         for name in self.grids:
-            nx, ny, nz = self._grid_shapes[name]
             if name == 'coarse':
-                masks[name] = jnp.ones((nx, ny, nz, 1), jnp.float32)
+                masks[name] = jnp.ones((self.grids[name].shape[0], 1),
+                                       jnp.float32)
             else:
                 m = frustum_mask(self._grid_points[name], c2w_dev,
                                  depth_dev, self.intr)
-                masks[name] = m.reshape(nx, ny, nz, 1)
+                masks[name] = m[:, None]
         return masks
 
     def map_frame(self, idx: int, color_np, depth_np, gt_c2w_np, *,
@@ -414,6 +420,13 @@ class SlamSystem:
             sel, oldest = self._select_window(
                 store, mcfg_eff, window_size, idx, color_np, depth_np,
                 cur_c2w)
+            if self.save_selected_keyframes and not coarse:
+                info = [{'idx': store.frames[p].idx,
+                         'gt_c2w': store.frames[p].gt_c2w,
+                         'est_c2w': store.frames[p].est_c2w} for p in sel]
+                info.append({'idx': idx, 'gt_c2w': np.asarray(gt_c2w_np),
+                             'est_c2w': cur_c2w})
+                self.selected_keyframes[idx] = info
 
             # build window arrays: selected keyframes then the current frame
             colors, depths, cam7s, cam_mask = [], [], [], []
@@ -523,6 +536,8 @@ class SlamSystem:
             'gt_c2w': self.gt_c2w,
             'keyframes': [vars(kf) for kf in self.keyframes.frames],
             'coarse_keyframe_indices': self.coarse_keyframes.indices,
+            'selected_keyframes': (self.selected_keyframes
+                                   if self.save_selected_keyframes else None),
             'mapping_idx': self.mapping_idx,
         }
 
@@ -537,7 +552,9 @@ class SlamSystem:
         """Resume from `checkpoint_state()` output; returns the next frame
         index to process (extension over the reference, which cannot
         resume)."""
-        self.grids = {k: jnp.asarray(v) for k, v in state['grids'].items()}
+        self.grids = {
+            k: jnp.asarray(v).reshape(-1, v.shape[-1])
+            for k, v in state['grids'].items()}
         self.opt_dec = jax.tree.map(jnp.asarray, state['opt_dec'])
         self.frozen_dec = jax.tree.map(jnp.asarray, state['frozen_dec'])
         self.estimate_c2w = np.asarray(state['estimate_c2w'])
@@ -599,6 +616,16 @@ class SlamSystem:
                 self.mesh_now(idx)
             if idx == self.n_img - 1:
                 self.mesh_now(idx, final=True)
+                if self.eval_rec and self.mesher is not None:
+                    t0 = time.perf_counter()
+                    path = os.path.join(self.output, 'mesh',
+                                        'final_mesh_eval_rec.ply')
+                    self.mesher.extract(
+                        path, self.full_dec_params(), self.grids,
+                        self.keyframes, self.estimate_c2w, idx,
+                        show_forecast=False, clean_mesh=True,
+                        get_mask_use_all_frames=True)
+                    self.timers.mesh_s += time.perf_counter() - t0
 
         # release the device copy of non-keyframe images
         if idx not in self.keyframes.indices and idx in self._kf_device:

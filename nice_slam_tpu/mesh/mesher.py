@@ -58,15 +58,21 @@ class MesherConfig(NamedTuple):
 
 class Mesher:
     def __init__(self, mcfg: MesherConfig, model: SceneModel,
-                 intr: Intrinsics, *, sharded_mesh=None):
+                 intr: Intrinsics, *, rcfg=None, sharded_mesh=None):
+        from nice_slam_tpu.render.renderer import RenderConfig, render_rays
         self.cfg = mcfg
         self.model = model
         self.intr = intr
         self.sharded_mesh = sharded_mesh
+        self._ray_rcfg = rcfg if rcfg is not None else RenderConfig()
         self._eval_chunk = jax.jit(
             lambda params, grids, pts, stage: eval_raw(
                 params, grids, pts, stage, self.model),
             static_argnames=('stage',))
+        self._render_chunk = jax.jit(
+            lambda params, grids, o, d, gd: render_rays(
+                params, grids, o, d, stage='color', model=self.model,
+                rcfg=self._ray_rcfg, gt_depth=gd))
 
     # ------------------------------------------------------------------
     # lattice + field evaluation
@@ -197,6 +203,7 @@ class Mesher:
         kf_c2ws = [kf.est_c2w for kf in keyframes.frames]
         kf_depths = [kf.depth for kf in keyframes.frames]
 
+        geo_stage = 'fine' if self.model.kind == 'nice' else 'color'
         if show_forecast:
             seen = self.seen_mask(points, kf_c2ws, kf_depths,
                                   use_depth=cfg.depth_test)
@@ -205,7 +212,7 @@ class Mesher:
             z = np.full((len(points),), -100.0, dtype=np.float32)
             if seen.any():
                 z[seen] = self.eval_field(params, grids, points[seen],
-                                          'fine')
+                                          geo_stage)
             if forecast.any():
                 z[forecast] = self.eval_field(
                     params, grids, points[forecast], 'coarse') + 0.2
@@ -215,7 +222,7 @@ class Mesher:
                 inside = tri.find_simplex(points.astype(np.float64)) >= 0
             else:
                 inside = np.ones((len(points),), dtype=bool)
-            z = self.eval_field(params, grids, points, 'fine')
+            z = self.eval_field(params, grids, points, geo_stage)
             z[~inside] = 100.0
             seen = None
 
@@ -244,10 +251,13 @@ class Mesher:
                 * (self.cfg.scale ** 2))
 
         colors = None
-        if color and cfg.color_mesh_extraction_method \
-                == 'direct_point_query' and len(verts):
-            rgb = self.eval_field(params, grids, verts.astype(np.float32),
-                                  'color', column=slice(0, 3))
+        if color and len(verts):
+            if cfg.color_mesh_extraction_method == 'direct_point_query':
+                rgb = self.eval_field(params, grids,
+                                      verts.astype(np.float32),
+                                      'color', column=slice(0, 3))
+            else:  # 'render_ray_along_normal' (iMAP*, Mesher.py:668-695)
+                rgb = self._color_along_normals(params, grids, verts, tris)
             colors = (np.clip(rgb, 0, 1) * 255).astype(np.uint8)
             if show_forecast and seen is not None:
                 v_forecast = ~self.seen_mask(verts, kf_c2ws, kf_depths,
@@ -257,6 +267,47 @@ class Mesher:
         verts = verts / cfg.scale
         save_ply(out_file, verts, tris, colors)
         return out_file
+
+    def _color_along_normals(self, params, grids, verts, tris,
+                             length: float = 0.1) -> np.ndarray:
+        """Render a short ray along each vertex normal and take its color
+        (the reference's iMAP* method, Mesher.py:668-695: origin offset
+        -0.1 along the normal, gt_depth=0.1 so surface samples bracket the
+        vertex)."""
+        import jax.numpy as jnp
+        from nice_slam_tpu.render.renderer import render_rays
+
+        normals = vertex_normals(verts, tris)
+        rays_o = (verts - length * normals).astype(np.float32)
+        rays_d = normals.astype(np.float32)
+        out = []
+        chunk = self.cfg.points_batch // 64
+        rcfg = self._ray_rcfg
+        for i in range(0, len(verts), chunk):
+            o = rays_o[i:i + chunk]
+            d = rays_d[i:i + chunk]
+            pad = chunk - len(o)
+            if pad:
+                o = np.pad(o, ((0, pad), (0, 0)))
+                d = np.pad(d, ((0, pad), (0, 0)), constant_values=1.0)
+            gd = jnp.full((chunk,), length)
+            _, _, col, _ = self._render_chunk(params, grids, jnp.asarray(o),
+                                              jnp.asarray(d), gd)
+            out.append(np.asarray(col)[:chunk - pad if pad else chunk])
+        return np.concatenate(out, axis=0)
+
+
+def vertex_normals(verts: np.ndarray, tris: np.ndarray) -> np.ndarray:
+    """Area-weighted vertex normals (replaces o3d compute_vertex_normals
+    for the ray-along-normal color path)."""
+    fn = np.cross(verts[tris[:, 1]] - verts[tris[:, 0]],
+                  verts[tris[:, 2]] - verts[tris[:, 0]])
+    vn = np.zeros_like(verts)
+    for k in range(3):
+        np.add.at(vn, tris[:, k], fn)
+    norm = np.linalg.norm(vn, axis=1, keepdims=True)
+    norm[norm == 0] = 1.0
+    return vn / norm
 
 
 def _compact(verts: np.ndarray, tris: np.ndarray):

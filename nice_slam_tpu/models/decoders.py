@@ -199,25 +199,33 @@ def init_nice_decoders(key: jax.Array, cfg: DecoderConfig) -> Params:
 
 def nice_eval(params: Params, grids: dict[str, jnp.ndarray], p: jnp.ndarray,
               stage: str, cfg: DecoderConfig, bound: jnp.ndarray,
-              coarse_bound: jnp.ndarray | None = None) -> jnp.ndarray:
+              coarse_bound: jnp.ndarray | None = None,
+              grid_shapes: tuple | None = None) -> jnp.ndarray:
     """Evaluate the NICE model at points for a given stage (decoder.py:336-370).
 
     Args:
-      grids: {'coarse','middle','fine','color'} -> [Nx, Ny, Nz, c_dim].
+      grids: {'coarse','middle','fine','color'} -> [Nx, Ny, Nz, c_dim] or
+        flat [M, c_dim] (then `grid_shapes` provides the (Nx, Ny, Nz)s).
       p: [N, 3] world points.
       stage: one of STAGES (static).
       bound: [3, 2] scene bound; coarse_bound: enlarged bound for the coarse
         grid (NICE_SLAM.py:208).
+      grid_shapes: static ((name, (nx, ny, nz)), ...) for flat grids.
     Returns:
       raw: [N, 4] (r, g, b, occ_logit); rgb is zero except in 'color'.
     """
+    shapes = dict(grid_shapes) if grid_shapes else {}
+
+    def feat_of(name, bnd):
+        return sample_grid_feature(grids[name], p, bnd, shapes.get(name))
+
     if stage == 'coarse':
-        feat = sample_grid_feature(grids['coarse'], p, coarse_bound)
+        feat = feat_of('coarse', coarse_bound)
         occ = mlp_no_xyz_apply(params['coarse'], cfg, feat)
         return jnp.concatenate(
             [jnp.zeros(p.shape[:-1] + (3,)), occ[..., None]], axis=-1)
 
-    c_mid = sample_grid_feature(grids['middle'], p, bound)
+    c_mid = feat_of('middle', bound)
     middle_occ = mlp_apply(params['middle'], cfg, p, c_mid, color=False)
     if stage == 'middle':
         return jnp.concatenate(
@@ -225,9 +233,8 @@ def nice_eval(params: Params, grids: dict[str, jnp.ndarray], p: jnp.ndarray,
 
     # fine decoder concats its own feature with a stop-gradient middle sample
     # (decoder.py:196-202)
-    c_fine = sample_grid_feature(grids['fine'], p, bound)
-    c_mid_sg = jax.lax.stop_gradient(
-        sample_grid_feature(grids['middle'], p, bound))
+    c_fine = feat_of('fine', bound)
+    c_mid_sg = jax.lax.stop_gradient(c_mid)
     fine_occ = mlp_apply(params['fine'], cfg, p,
                          jnp.concatenate([c_fine, c_mid_sg], axis=-1),
                          color=False)
@@ -237,7 +244,7 @@ def nice_eval(params: Params, grids: dict[str, jnp.ndarray], p: jnp.ndarray,
             [jnp.zeros(p.shape[:-1] + (3,)), occ[..., None]], axis=-1)
 
     assert stage == 'color', stage
-    c_color = sample_grid_feature(grids['color'], p, bound)
+    c_color = feat_of('color', bound)
     rgb_raw = mlp_apply(params['color'], cfg, p, c_color, color=True)
     return jnp.concatenate([rgb_raw[..., :3], occ[..., None]], axis=-1)
 

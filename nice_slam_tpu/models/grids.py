@@ -77,16 +77,24 @@ def init_grids(key: jax.Array, cfg: GridConfig) -> dict[str, jnp.ndarray]:
     """Allocate and randomly initialize the feature volumes.
 
     N(0, 0.01) everywhere except the fine grid's N(0, 0.0001)
-    (NICE_SLAM.py:289-316).
+    (NICE_SLAM.py:289-316).  Stored FLAT as [Nx*Ny*Nz, c_dim]
+    (x-major) — see ops/trilinear.py for the TPU layout rationale; the
+    (nx, ny, nz) shapes live in `grid_shapes(cfg)` / SceneModel.
     """
     shapes = grid_shapes(cfg)
     stds = {'coarse': 0.01, 'middle': 0.01, 'fine': 0.0001, 'color': 0.01}
     grids = {}
     keys = jax.random.split(key, len(shapes))
     for k, (name, shape) in zip(keys, sorted(shapes.items())):
+        m = shape[0] * shape[1] * shape[2]
         grids[name] = jax.random.normal(
-            k, (*shape, cfg.c_dim), dtype=jnp.float32) * stds[name]
+            k, (m, cfg.c_dim), dtype=jnp.float32) * stds[name]
     return grids
+
+
+def static_grid_shapes(cfg: GridConfig) -> tuple:
+    """Hashable ((name, (nx, ny, nz)), ...) for SceneModel."""
+    return tuple(sorted(grid_shapes(cfg).items()))
 
 
 def grid_world_coords(cfg: GridConfig, name: str) -> np.ndarray:

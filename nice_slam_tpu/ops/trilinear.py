@@ -39,17 +39,28 @@ def normalize_coords(p: jnp.ndarray, bound: jnp.ndarray) -> jnp.ndarray:
     return (p - lo) / (hi - lo) * 2.0 - 1.0
 
 
-def trilinear_interp(grid: jnp.ndarray, p_nor: jnp.ndarray) -> jnp.ndarray:
+def trilinear_interp(grid: jnp.ndarray, p_nor: jnp.ndarray,
+                     shape: tuple[int, int, int] | None = None
+                     ) -> jnp.ndarray:
     """Trilinearly interpolate a feature grid at normalized points.
 
     Args:
-      grid: [Nx, Ny, Nz, C] feature volume.
+      grid: [Nx, Ny, Nz, C] volume, or flat [Nx*Ny*Nz, C] with `shape`
+        giving (Nx, Ny, Nz).  Flat 2D storage is the canonical on-device
+        form: XLA's layout assignment on TPU sometimes picks exotic 4D
+        layouts (e.g. x-minor) nondeterministically, and every executable
+        whose chosen layout disagrees with the buffer pays a full relayout
+        copy per call — a 300x slowdown observed on this op.  2D arrays
+        have an unambiguous (row, lane) layout.
       p_nor: [N, 3] coordinates in [-1, 1] (x, y, z); out-of-range values
         clamp to the border (padding_mode='border').
     Returns:
       [N, C] interpolated features.
     """
-    nx, ny, nz, _ = grid.shape
+    if shape is None:
+        nx, ny, nz = grid.shape[:3]
+    else:
+        nx, ny, nz = shape
     sizes = jnp.array([nx, ny, nz], dtype=p_nor.dtype)
     # align_corners=True mapping, then clamp for border padding.
     idx = (p_nor + 1.0) * 0.5 * (sizes - 1.0)
@@ -88,15 +99,17 @@ def trilinear_interp(grid: jnp.ndarray, p_nor: jnp.ndarray) -> jnp.ndarray:
 
 
 def sample_grid_feature(grid: jnp.ndarray, p: jnp.ndarray,
-                        bound: jnp.ndarray) -> jnp.ndarray:
+                        bound: jnp.ndarray,
+                        shape: tuple[int, int, int] | None = None
+                        ) -> jnp.ndarray:
     """World points -> interpolated grid features (decoder.py:179-188).
 
     Args:
-      grid: [Nx, Ny, Nz, C].
+      grid: [Nx, Ny, Nz, C] or flat [M, C] with `shape`=(Nx, Ny, Nz).
       p: [N, 3] world points.
       bound: [3, 2] scene bound used for normalization (the coarse decoder
         passes an enlarged bound, NICE_SLAM.py:208).
     Returns:
       [N, C].
     """
-    return trilinear_interp(grid, normalize_coords(p, bound))
+    return trilinear_interp(grid, normalize_coords(p, bound), shape)

@@ -51,13 +51,16 @@ class SceneModel(NamedTuple):
 
     kind: 'nice' | 'imap'.  bound/coarse_bound are [3, 2] float arrays
     (coarse_bound is the enlarged bound fed to the coarse decoder,
-    NICE_SLAM.py:208).
+    NICE_SLAM.py:208).  grid_shapes is the static ((name, (nx, ny, nz)),
+    ...) tuple describing the flat [M, c_dim] grid buffers (see
+    ops/trilinear.py for why grids are stored flat).
     """
 
     kind: str
     decoder: DecoderConfig
     bound: jnp.ndarray
     coarse_bound: jnp.ndarray | None = None
+    grid_shapes: tuple = ()
 
 
 def eval_raw(params: Any, grids: dict[str, jnp.ndarray] | None,
@@ -68,7 +71,7 @@ def eval_raw(params: Any, grids: dict[str, jnp.ndarray] | None,
     """
     if model.kind == 'nice':
         raw = nice_eval(params, grids, p, stage, model.decoder, model.bound,
-                        model.coarse_bound)
+                        model.coarse_bound, model.grid_shapes)
     else:
         raw = imap_eval(params, p, model.decoder)
     inside = jnp.all((p > model.bound[:, 0]) & (p < model.bound[:, 1]),
