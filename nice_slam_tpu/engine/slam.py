@@ -264,6 +264,11 @@ class SlamSystem:
                 cfg['mapping'].get('vis_freq', 50), model=self.model,
                 rcfg=self.rcfg, intr=self.intr, verbose=self.verbose)
         self.vis_enabled = bool(cfg.get('enable_vis', True))
+        # aux subsystem #2 (SURVEY.md §5): the reference's safety is
+        # by-construction single-writer discipline; here state is functional,
+        # and this optional mode asserts the invariants every step
+        self.check_invariants = bool(
+            cfg.get('debug', {}).get('check_invariants', False))
 
     # ------------------------------------------------------------------
     # pretrained decoder import
@@ -627,9 +632,25 @@ class SlamSystem:
                         get_mask_use_all_frames=True)
                     self.timers.mesh_s += time.perf_counter() - t0
 
+        if self.check_invariants:
+            self._assert_invariants(idx)
+
         # release the device copy of non-keyframe images
         if idx not in self.keyframes.indices and idx in self._kf_device:
             del self._kf_device[idx]
+
+    def _assert_invariants(self, idx: int) -> None:
+        """State-health checks (replaces the reference's implicit trust in
+        its single-writer discipline): finite map state, valid pose."""
+        for name, g in self.grids.items():
+            assert bool(jnp.isfinite(g).all()), f'grid {name} has non-finite'
+        for leaf in jax.tree.leaves(self.opt_dec):
+            assert bool(jnp.isfinite(leaf).all()), 'decoder non-finite'
+        c2w = self.estimate_c2w[idx]
+        assert np.isfinite(c2w).all(), f'pose {idx} non-finite'
+        rot = c2w[:3, :3]
+        err = np.abs(rot @ rot.T - np.eye(3)).max()
+        assert err < 1e-2, f'pose {idx} rotation not orthonormal ({err})'
 
     def run(self) -> None:
         for idx in range(self.n_img):
