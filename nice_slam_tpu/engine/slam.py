@@ -269,6 +269,11 @@ class SlamSystem:
         # and this optional mode asserts the invariants every step
         self.check_invariants = bool(
             cfg.get('debug', {}).get('check_invariants', False))
+        # aux subsystem #5 (SURVEY.md §5): structured per-frame scalar log
+        self.metrics_path = os.path.join(self.output, 'metrics.jsonl')
+        self._metrics_f = None
+        # aux subsystem #1: optional JAX profiler trace
+        self.profile_dir = cfg.get('debug', {}).get('profile_dir')
 
     # ------------------------------------------------------------------
     # pretrained decoder import
@@ -635,9 +640,24 @@ class SlamSystem:
         if self.check_invariants:
             self._assert_invariants(idx)
 
+        self._log_metrics(idx)
+
         # release the device copy of non-keyframe images
         if idx not in self.keyframes.indices and idx in self._kf_device:
             del self._kf_device[idx]
+
+    def _log_metrics(self, idx: int) -> None:
+        import json
+        if self._metrics_f is None:
+            self._metrics_f = open(self.metrics_path, 'a')
+        gt_err = float(np.linalg.norm(
+            self.estimate_c2w[idx][:3, 3] - self.gt_c2w[idx][:3, 3]))
+        rec = {'frame': idx, 'pose_err_vs_gt': round(gt_err, 5),
+               'mapped': self.mapping_idx == idx,
+               'n_keyframes': len(self.keyframes),
+               **self.timers.summary()}
+        self._metrics_f.write(json.dumps(rec) + '\n')
+        self._metrics_f.flush()
 
     def _assert_invariants(self, idx: int) -> None:
         """State-health checks (replaces the reference's implicit trust in
@@ -652,8 +672,16 @@ class SlamSystem:
         err = np.abs(rot @ rot.T - np.eye(3)).max()
         assert err < 1e-2, f'pose {idx} rotation not orthonormal ({err})'
 
-    def run(self) -> None:
-        for idx in range(self.n_img):
-            self.step(idx)
+    def run(self, start: int = 0) -> None:
+        if self.profile_dir:
+            import jax.profiler
+            jax.profiler.start_trace(self.profile_dir)
+        try:
+            for idx in range(start, self.n_img):
+                self.step(idx)
+        finally:
+            if self.profile_dir:
+                import jax.profiler
+                jax.profiler.stop_trace()
         if self.verbose:
             print('INFO: run complete:', self.timers.summary())

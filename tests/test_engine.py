@@ -109,3 +109,23 @@ def test_checkpoint_roundtrip(tmp_path):
     np.testing.assert_allclose(
         np.asarray(slam2.grids['middle']), np.asarray(slam.grids['middle']),
         atol=1e-6)
+
+
+def test_imap_end_to_end_run():
+    """iMAP* mode (single MLP, density rendering, N_importance resampling,
+    StepLR decay, free-space regulation) over a few frames."""
+    from nice_slam_tpu.engine.slam import SlamSystem
+    cfg = make_test_cfg(n_frames=5, nice=False, coarse=False)
+    cfg['rendering']['N_importance'] = 4
+    cfg['rendering']['N_surface'] = 8
+    cfg['mapping']['iters_first'] = 150
+    cfg['mapping']['iters'] = 30
+    cfg['tracking']['iters'] = 15
+    slam = SlamSystem(cfg, nice=False, output='/tmp/nstpu_test_imap')
+    slam.run()
+    assert slam.timers.frames_tracked == 5
+    t_err = np.linalg.norm(
+        slam.estimate_c2w[:, :3, 3] - slam.gt_c2w[:, :3, 3], axis=-1)
+    assert np.max(t_err) < 0.08, t_err
+    import os
+    assert os.path.exists('/tmp/nstpu_test_imap/metrics.jsonl')
