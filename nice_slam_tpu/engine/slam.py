@@ -139,6 +139,8 @@ class SlamSystem:
                  input_folder: str | None = None,
                  output: str | None = None, seed: int = 0,
                  frame_reader=None, verbose: bool | None = None):
+        from nice_slam_tpu.utils.compilation_cache import enable as _cc
+        _cc()
         self.cfg = cfg
         self.nice = nice
         self.verbose = cfg.get('verbose', False) if verbose is None \

@@ -1,0 +1,41 @@
+"""Persistent XLA compilation cache setup.
+
+Two problems on this TPU stack make a disk cache essential rather than a
+nicety (both measured, see ops/trilinear.py and bench.py):
+  * compiles go through a remote service whose latency varies from seconds
+    to minutes;
+  * code quality is nondeterministic across compiles — the same tracking
+    program has come back 5x slower depending on compile luck.
+
+With the cache enabled, a program compiles once; every later process reuses
+the exact cached binary, making both startup time and runtime performance
+deterministic.  bench.py additionally retries compilation until a
+fast-enough binary lands in the cache (see its `--retune` logic).
+"""
+
+from __future__ import annotations
+
+import os
+
+
+def enable(cache_dir: str | None = None) -> str:
+    import jax
+
+    if cache_dir is None:
+        cache_dir = os.environ.get(
+            'NSTPU_JAX_CACHE',
+            os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
+                os.path.abspath(__file__)))), '.jax_cache'))
+    os.makedirs(cache_dir, exist_ok=True)
+    jax.config.update('jax_compilation_cache_dir', cache_dir)
+    jax.config.update('jax_persistent_cache_min_compile_time_secs', 0.0)
+    jax.config.update('jax_persistent_cache_min_entry_size_bytes', 0)
+    return cache_dir
+
+
+def clear(cache_dir: str | None = None) -> None:
+    import shutil
+    if cache_dir is None:
+        cache_dir = enable()
+    shutil.rmtree(cache_dir, ignore_errors=True)
+    os.makedirs(cache_dir, exist_ok=True)

@@ -32,6 +32,8 @@ def main() -> None:
     parser.add_argument('--seed', type=int, default=0)
     args = parser.parse_args()
 
+    from nice_slam_tpu.utils.compilation_cache import enable as _cc
+    _cc()
     from nice_slam_tpu.utils.config import load_config
     default = 'configs/nice_slam.yaml' if args.nice else 'configs/imap.yaml'
     cfg = load_config(args.config, default)
