@@ -115,3 +115,33 @@ def render_config_from_cfg(cfg: dict) -> RenderConfig:
 
 def scene_bound(cfg: dict) -> np.ndarray:
     return grid_config_from_cfg(cfg).bound_np
+
+
+def get_model(cfg: dict, nice: bool = True, seed: int = 0):
+    """Construct the scene model (reference `config.get_model`,
+    src/config.py:63-79 + conv_onet/config.py:4-33).
+
+    Returns (scene_model, decoder_params, grids) — the functional
+    equivalent of the reference's nn.Module + shared grid dict.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from nice_slam_tpu.models.decoders import (
+        init_imap_decoder, init_nice_decoders)
+    from nice_slam_tpu.models.grids import init_grids, static_grid_shapes
+    from nice_slam_tpu.render.renderer import SceneModel
+
+    gcfg = grid_config_from_cfg(cfg)
+    dcfg = decoder_config_from_cfg(cfg)
+    key = jax.random.PRNGKey(seed)
+    kg, kd = jax.random.split(key)
+    if nice:
+        model = SceneModel(
+            kind='nice', decoder=dcfg, bound=jnp.asarray(gcfg.bound_np),
+            coarse_bound=jnp.asarray(gcfg.coarse_bound_np),
+            grid_shapes=static_grid_shapes(gcfg))
+        return model, init_nice_decoders(kd, dcfg), init_grids(kg, gcfg)
+    model = SceneModel(kind='imap', decoder=dcfg,
+                       bound=jnp.asarray(gcfg.bound_np))
+    return model, init_imap_decoder(kd, dcfg), {}
