@@ -141,6 +141,14 @@ class SlamSystem:
                  frame_reader=None, verbose: bool | None = None):
         from nice_slam_tpu.utils.compilation_cache import enable as _cc
         _cc()
+        # Full-f32 matmuls: jax's default TPU precision is single-pass
+        # bfloat16, which destabilizes the pose optimization over long
+        # sequences (non-finite pose observed at frame ~37 of a 40-frame
+        # run; clean under f32).  The workload is gather/bandwidth-bound,
+        # not MXU-bound, so the 3-pass f32 emulation costs little.
+        jax.config.update(
+            'jax_default_matmul_precision',
+            cfg.get('matmul_precision', 'float32'))
         self.cfg = cfg
         self.nice = nice
         self.verbose = cfg.get('verbose', False) if verbose is None \

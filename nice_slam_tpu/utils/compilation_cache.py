@@ -26,6 +26,14 @@ def enable(cache_dir: str | None = None) -> str:
             'NSTPU_JAX_CACHE',
             os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
                 os.path.abspath(__file__)))), '.jax_cache'))
+    # one subdirectory per backend: CPU AOT artifacts embed host machine
+    # features and must not be shared with (or clobbered by) artifacts
+    # produced by the remote TPU compile service on a different machine
+    try:
+        platform = jax.default_backend()
+    except Exception:
+        platform = 'unknown'
+    cache_dir = os.path.join(cache_dir, platform)
     os.makedirs(cache_dir, exist_ok=True)
     jax.config.update('jax_compilation_cache_dir', cache_dir)
     jax.config.update('jax_persistent_cache_min_compile_time_secs', 0.0)
