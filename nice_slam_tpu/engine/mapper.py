@@ -168,6 +168,12 @@ def build_stage_losses(*, model: SceneModel, rcfg: RenderConfig,
         def loss_fn(opt_params, frozen_dec, colors, depths, key):
             params = full_params(opt_params['dec'], frozen_dec)
             grids = opt_params['grids'] if nice else None
+            if nice and model.expanded:
+                # rebuilt every iteration (the grids change under Adam);
+                # autodiff transposes the dense expansion into a shifted-add
+                # fold, so the grid-grad scatter is one wide row per point
+                from nice_slam_tpu.models.grids import prepare_grids
+                grids = prepare_grids(grids, model.grid_shapes)
             o, d, dgt, cgt = _window_rays(
                 opt_params['cams'], colors, depths, key,
                 n_frames, pix_per_frame, intr)

@@ -117,6 +117,12 @@ def make_track_frame(*, model: SceneModel, rcfg: RenderConfig,
     loss_grad = jax.value_and_grad(tracking_loss)
 
     def track_frame(params, grids, gt_color, gt_depth, cam7_init, key):
+        if model.kind == 'nice' and model.expanded:
+            # grids are constant across the frame's scan: corner-expand once
+            # so each render pays one gathered row per sample point
+            from nice_slam_tpu.models.grids import prepare_grids
+            grids = prepare_grids(grids, model.grid_shapes)
+
         def body(carry, it):
             cam7, opt_state, best_loss, best_cam7 = carry
             k = jax.random.fold_in(key, it)

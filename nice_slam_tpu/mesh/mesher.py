@@ -198,6 +198,10 @@ class Mesher:
         show_forecast = (cfg.mesh_coarse_level if show_forecast is None
                          else show_forecast)
         clean_mesh = cfg.clean_mesh if clean_mesh is None else clean_mesh
+        if self.model.kind == 'nice' and self.model.expanded and grids:
+            # one corner-expansion serves the whole lattice query
+            from nice_slam_tpu.models.grids import prepare_grids
+            grids = prepare_grids(grids, self.model.grid_shapes)
 
         points, xs, ys, zs = self.lattice()
         kf_c2ws = [kf.est_c2w for kf in keyframes.frames]

@@ -216,7 +216,18 @@ def nice_eval(params: Params, grids: dict[str, jnp.ndarray], p: jnp.ndarray,
     """
     shapes = dict(grid_shapes) if grid_shapes else {}
 
+    # 'finecolor' is the channel-fused fine+color buffer produced by
+    # models.grids.prepare_grids: one gathered row serves both volumes.
+    fused_cache = []
+
     def feat_of(name, bnd):
+        if name in ('fine', 'color') and 'finecolor' in grids:
+            if not fused_cache:
+                fused_cache.append(sample_grid_feature(
+                    grids['finecolor'], p, bnd, shapes.get('fine')))
+            both = fused_cache[0]
+            return (both[..., :cfg.c_dim] if name == 'fine'
+                    else both[..., cfg.c_dim:])
         return sample_grid_feature(grids[name], p, bnd, shapes.get(name))
 
     if stage == 'coarse':

@@ -97,6 +97,41 @@ def static_grid_shapes(cfg: GridConfig) -> tuple:
     return tuple(sorted(grid_shapes(cfg).items()))
 
 
+def prepare_grids(grids: dict[str, jnp.ndarray], grid_shapes_t: tuple,
+                  enable: bool = True) -> dict:
+    """Corner-expand flat grids for the one-gathered-row-per-point fast path
+    (ops/trilinear.ExpandedGrid).  Call once per fixed-grid evaluation scope
+    (a tracking frame, a whole-image render, a mesh lattice query); the
+    mapper instead calls it inside its scan body, where autodiff turns the
+    expansion's transpose into a dense fold.  No-op for already-expanded
+    entries or when disabled.
+
+    When fine and color are both present with the same lattice shape they
+    are concatenated channel-wise into one 'finecolor' buffer before
+    expansion, so the fine/color stages pay ONE gathered (and, under grad,
+    one scattered) row per point for both volumes; `nice_eval` splits the
+    interpolated features.  The gradient flows through the concat back to
+    the separate canonical grids automatically."""
+    if not enable or not grids:
+        return grids
+    from nice_slam_tpu.ops.trilinear import ExpandedGrid, expand_grid
+    shapes = dict(grid_shapes_t)
+    out = {}
+    fuse = ('fine' in grids and 'color' in grids
+            and not isinstance(grids['fine'], ExpandedGrid)
+            and not isinstance(grids['color'], ExpandedGrid)
+            and shapes.get('fine') == shapes.get('color'))
+    for name, g in grids.items():
+        if fuse and name in ('fine', 'color'):
+            continue
+        out[name] = (g if isinstance(g, ExpandedGrid)
+                     else expand_grid(g, shapes[name]))
+    if fuse:
+        both = jnp.concatenate([grids['fine'], grids['color']], axis=-1)
+        out['finecolor'] = expand_grid(both, shapes['fine'])
+    return out
+
+
 def grid_world_coords(cfg: GridConfig, name: str) -> np.ndarray:
     """World coordinates of every grid node, [Nx, Ny, Nz, 3].
 

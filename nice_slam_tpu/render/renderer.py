@@ -61,6 +61,10 @@ class SceneModel(NamedTuple):
     bound: jnp.ndarray
     coarse_bound: jnp.ndarray | None = None
     grid_shapes: tuple = ()
+    # Use the corner-expanded gather layout (ops/trilinear.ExpandedGrid) in
+    # the engines/renderer: ~8x fewer gathered rows per query point on TPU.
+    # Same math as the baseline path up to f32 summation order.
+    expanded: bool = True
 
 
 def eval_raw(params: Any, grids: dict[str, jnp.ndarray] | None,
@@ -155,6 +159,9 @@ def render_image(params: Any, grids: dict[str, jnp.ndarray] | None,
 
     Returns (depth [H, W], depth_var [H, W], color [H, W, 3]).
     """
+    if model.kind == 'nice' and model.expanded and grids:
+        from nice_slam_tpu.models.grids import prepare_grids
+        grids = prepare_grids(grids, model.grid_shapes)
     rays_o, rays_d = rays_full_image(c2w, intr)
     n = intr.H * intr.W
     chunk = min(rcfg.ray_chunk, n)

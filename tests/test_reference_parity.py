@@ -154,6 +154,40 @@ def test_color_stage_matches_reference(setup):
     np.testing.assert_allclose(ours[:, 3], fine + mid, atol=5e-5, rtol=1e-4)
 
 
+@pytest.mark.parametrize("stage", ["middle", "fine", "color"])
+def test_prepared_grids_match_canonical(setup, stage):
+    """nice_eval over prepare_grids output (ExpandedGrid + fused finecolor)
+    == nice_eval over canonical flat grids, fwd and grid-grad."""
+    import jax
+    import jax.numpy as jnp
+    from nice_slam_tpu.models.decoders import nice_eval
+    from nice_slam_tpu.models.grids import prepare_grids
+    s = setup
+    shapes_t = tuple(sorted(s['shapes'].items()))
+    args = (jnp.asarray(s['pts']), stage, s['dcfg'],
+            jnp.asarray(s['gcfg'].bound_np),
+            jnp.asarray(s['gcfg'].coarse_bound_np), shapes_t)
+    base = np.asarray(nice_eval(s['params'], s['grids'], *args))
+    fast = np.asarray(nice_eval(
+        s['params'], prepare_grids(s['grids'], shapes_t), *args))
+    np.testing.assert_allclose(fast, base, atol=5e-5, rtol=1e-4)
+    assert 'finecolor' in prepare_grids(s['grids'], shapes_t)
+
+    def base_loss(g):
+        return jnp.sum(nice_eval(s['params'], g, *args) ** 2)
+
+    def fast_loss(g):
+        return jnp.sum(nice_eval(
+            s['params'], prepare_grids(g, shapes_t), *args) ** 2)
+
+    g0 = jax.grad(base_loss)(s['grids'])
+    g1 = jax.grad(fast_loss)(s['grids'])
+    for name in g0:
+        np.testing.assert_allclose(np.asarray(g1[name]),
+                                   np.asarray(g0[name]),
+                                   atol=2e-4, rtol=2e-4)
+
+
 def test_coarse_decoder_matches_reference(setup):
     import torch
     p = torch.tensor(setup['pts'])[None]

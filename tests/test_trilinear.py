@@ -57,6 +57,66 @@ def test_normalize_coords():
         out, [[-1, -1, -1], [1, 1, 1], [0, 0, 0]], atol=1e-6)
 
 
+@pytest.mark.parametrize("shape", [(5, 7, 6), (2, 2, 2), (9, 3, 4)])
+def test_expanded_matches_baseline(shape):
+    """ExpandedGrid path == baseline gather path (fwd), incl. border clamp."""
+    from nice_slam_tpu.ops.trilinear import expand_grid
+    rng = np.random.default_rng(2)
+    nx, ny, nz = shape
+    grid = rng.normal(size=(nx * ny * nz, 8)).astype(np.float32)
+    bound = jnp.array([[-1.0, 2.0], [0.0, 1.0], [-3.0, -1.0]])
+    p = rng.uniform(-3.5, 2.5, size=(300, 3)).astype(np.float32)
+    base = sample_grid_feature(jnp.asarray(grid), jnp.asarray(p), bound,
+                               shape)
+    eg = expand_grid(jnp.asarray(grid), shape)
+    fast = sample_grid_feature(eg, jnp.asarray(p), bound)
+    np.testing.assert_allclose(np.asarray(fast), np.asarray(base), atol=2e-5)
+
+
+def test_expanded_grad_matches_baseline():
+    """The expanded path's VJP (wide scatter + dense fold) equals the
+    baseline scatter-add gradient."""
+    import jax
+    from nice_slam_tpu.ops.trilinear import expand_grid
+    rng = np.random.default_rng(3)
+    shape = (6, 5, 4)
+    grid = rng.normal(size=(6 * 5 * 4, 4)).astype(np.float32)
+    bound = jnp.array([[0.0, 1.0]] * 3)
+    p = rng.uniform(-0.2, 1.2, size=(500, 3)).astype(np.float32)
+    cot = rng.normal(size=(500, 4)).astype(np.float32)
+
+    def base_loss(g):
+        return jnp.vdot(sample_grid_feature(g, jnp.asarray(p), bound, shape),
+                        jnp.asarray(cot))
+
+    def fast_loss(g):
+        return jnp.vdot(sample_grid_feature(
+            expand_grid(g, shape), jnp.asarray(p), bound), jnp.asarray(cot))
+
+    g0 = jax.grad(base_loss)(jnp.asarray(grid))
+    g1 = jax.grad(fast_loss)(jnp.asarray(grid))
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g0),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_prepare_grids_roundtrip():
+    """prepare_grids expands flat grids once and is idempotent."""
+    from nice_slam_tpu.models.grids import prepare_grids
+    from nice_slam_tpu.ops.trilinear import ExpandedGrid
+    rng = np.random.default_rng(4)
+    shapes = (('fine', (4, 3, 2)), ('middle', (2, 2, 2)))
+    grids = {name: jnp.asarray(
+        rng.normal(size=(s[0] * s[1] * s[2], 3)).astype(np.float32))
+        for name, s in shapes}
+    out = prepare_grids(grids, shapes)
+    assert all(isinstance(v, ExpandedGrid) for v in out.values())
+    assert out['fine'].e.shape == (24, 24)
+    again = prepare_grids(out, shapes)
+    assert again['fine'] is out['fine']
+    off = prepare_grids(grids, shapes, enable=False)
+    assert off is grids
+
+
 def test_gradient_flows_to_grid():
     import jax
     grid = jnp.ones((4, 4, 4, 2))
