@@ -1,0 +1,226 @@
+"""Pallas TPU kernels: corner-expansion of feature grids and its transpose.
+
+`ops/trilinear.expand_grid` builds E[m] = concat over the 2x2x2 corner
+offsets of the edge-clamped neighbours of voxel m (see that module for why
+the expanded layout is the TPU fast path).  The mapper rebuilds E every
+optimization iteration (the grids change under Adam), and its autodiff
+transpose (the fold of dE back onto the canonical grid) runs every backward
+pass.  Both are pure data movement — read G (M*C floats), write E (8x) —
+but the XLA slice+concat formulation materializes intermediate copies and
+measures ~4-6x off HBM speed-of-light in situ (scripts/ablate_map_step.py:
+~1.2 ms/iter expansion + a comparable share of the 2.4 ms/iter grid-grad
+path at the Replica room0 fine+color volume).
+
+These kernels stream the volume once:
+  * expand: grid over x-planes; each program reads plane x and the clamped
+    plane x+1 and emits the [P, 8C] expanded plane with the y/z shifts done
+    as in-VMEM row shifts + boundary selects (P = ny*nz rows, row m of a
+    plane has y = m // nz, z = m % nz).
+  * fold (the exact transpose): each program reads dE planes x and x-1 and
+    accumulates the transposed shifts, including the clamp contributions at
+    the x/y/z upper boundaries.
+
+`expand_grid_pallas` carries a jax.custom_vjp whose backward IS the fold
+kernel, so the mapper's gradient path uses it automatically.  Non-TPU
+backends run the same kernels under `interpret=True` (tests) or fall back
+to the XLA formulation (`ops.trilinear.expand_grid`).
+
+Corner/channel order matches ops/trilinear.expand_grid exactly:
+corner k = dx*4 + dy*2 + dz occupies channels [k*C, (k+1)*C).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+# Per-plane VMEM guard: cur + nxt + masks + 8C output, f32.
+_VMEM_LIMIT_BYTES = 10 * 1024 * 1024
+
+
+def _plane_masks(ny: int, nz: int) -> np.ndarray:
+    """[P, 2] f32: col 0 = 1.0 where z == nz-1, col 1 = 1.0 where y == ny-1."""
+    y = np.repeat(np.arange(ny), nz)
+    z = np.tile(np.arange(nz), ny)
+    return np.stack([(z == nz - 1), (y == ny - 1)],
+                    axis=-1).astype(np.float32)
+
+
+def _shift_up(v: jnp.ndarray, k: int) -> jnp.ndarray:
+    """Rows i -> i+k with the tail replicated (tail rows are always masked
+    out by the boundary selects before use)."""
+    if k == 0:
+        return v
+    return jnp.concatenate([v[k:], jnp.repeat(v[-1:], k, axis=0)], axis=0)
+
+
+def _shift_down(v: jnp.ndarray, k: int) -> jnp.ndarray:
+    """out[i] = v[i-k] with a zero head (transpose of a masked `_shift_up`).
+
+    Implemented as a circular roll + mask: Mosaic cannot concatenate
+    sublane-offset slices whose lane offset is not tile-aligned (the fold's
+    corner slices start at lane 64 when C == 64), but roll handles any
+    layout."""
+    if k == 0:
+        return v
+    rows = jax.lax.broadcasted_iota(jnp.int32, (v.shape[0], 1), 0)
+    return jnp.where(rows >= k, pltpu.roll(v, k, 0), 0.0)
+
+
+def _expand_kernel(nz: int, cur_ref, nxt_ref, mask_ref, out_ref):
+    cur = cur_ref[0]
+    nxt = nxt_ref[0]
+    zlast = mask_ref[:, 0:1]
+    ylast = mask_ref[:, 1:2]
+
+    def sz(v):
+        return jnp.where(zlast > 0, v, _shift_up(v, 1))
+
+    def sy(v):
+        return jnp.where(ylast > 0, v, _shift_up(v, nz))
+
+    blocks = []
+    for base in (cur, nxt):          # dx = 0, 1
+        b_y = (base, sy(base))       # dy = 0, 1
+        for by in b_y:
+            blocks.append(by)        # dz = 0
+            blocks.append(sz(by))    # dz = 1
+    # loop order above emits (dx, dy, dz) = 000,001,010,011,100,...
+    out_ref[0] = jnp.concatenate(blocks, axis=-1)
+
+
+def _fold_kernel(nz: int, c: int, nx: int, cur_ref, prv_ref, mask_ref,
+                 out_ref):
+    """Transpose of `_expand_kernel`.
+
+    d_G[a,b,cc] = sum over corners k=(dx,dy,dz) of d_E_k at the source
+    positions that clamp-map onto (a,b,cc):
+      x axis: plane a-dx, plus plane a itself when a == nx-1 and dx == 1;
+      y/z axes: the in-plane transposed shifts (with the same clamp rule).
+    """
+    x = pl.program_id(0)
+    cur = cur_ref[0]                      # d_E plane x     [P, 8C]
+    prv = prv_ref[0]                      # d_E plane x-1 (clamped at 0)
+    zlast = mask_ref[:, 0:1]
+    ylast = mask_ref[:, 1:2]
+
+    def szT(w):
+        # transpose of sz: w[j]*zlast[j] + (w*(1-zlast)) shifted down by 1
+        return zlast * w + _shift_down((1.0 - zlast) * w, 1)
+
+    def syT(w):
+        return ylast * w + _shift_down((1.0 - ylast) * w, nz)
+
+    def corner(plane, k):
+        w = plane[:, k * c:(k + 1) * c]
+        dx, rem = divmod(k, 4)
+        dy, dz = divmod(rem, 2)
+        if dz:
+            w = szT(w)
+        if dy:
+            w = syT(w)
+        return w
+
+    acc = corner(cur, 0) + corner(cur, 1) + corner(cur, 2) + corner(cur, 3)
+    # dx=1 corners arrive from the previous plane (dropped at x == 0) ...
+    from_prev = (corner(prv, 4) + corner(prv, 5) + corner(prv, 6)
+                 + corner(prv, 7))
+    acc = acc + jnp.where(x > 0, 1.0, 0.0) * from_prev
+    # ... and, at the clamped top plane, additionally from plane nx-1 itself.
+    from_self = (corner(cur, 4) + corner(cur, 5) + corner(cur, 6)
+                 + corner(cur, 7))
+    acc = acc + jnp.where(x == nx - 1, 1.0, 0.0) * from_self
+    out_ref[0] = acc
+
+
+def _plane_bytes(ny: int, nz: int, c: int) -> int:
+    p = ny * nz
+    return 4 * p * (c * 2 + 8 * c + 8)
+
+
+def pallas_expand_ok(shape: tuple[int, int, int], c: int) -> bool:
+    """Whether the plane-streaming kernels fit comfortably in VMEM."""
+    nx, ny, nz = shape
+    return _plane_bytes(ny, nz, c) <= _VMEM_LIMIT_BYTES
+
+
+def _expand_call(grid_flat: jnp.ndarray, shape: tuple[int, int, int],
+                 interpret: bool) -> jnp.ndarray:
+    nx, ny, nz = shape
+    c = grid_flat.shape[-1]
+    p = ny * nz
+    g3 = grid_flat.reshape(nx, p, c)
+    masks = jnp.asarray(_plane_masks(ny, nz))
+    out = pl.pallas_call(
+        functools.partial(_expand_kernel, nz),
+        out_shape=jax.ShapeDtypeStruct((nx, p, 8 * c), grid_flat.dtype),
+        grid=(nx,),
+        in_specs=[
+            pl.BlockSpec((1, p, c), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, p, c),
+                         lambda i: (jnp.minimum(i + 1, nx - 1), 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((p, 2), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, p, 8 * c), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(g3, g3, masks)
+    return out.reshape(nx * p, 8 * c)
+
+
+def _fold_call(de_flat: jnp.ndarray, shape: tuple[int, int, int],
+               interpret: bool) -> jnp.ndarray:
+    nx, ny, nz = shape
+    c8 = de_flat.shape[-1]
+    c = c8 // 8
+    p = ny * nz
+    d3 = de_flat.reshape(nx, p, c8)
+    masks = jnp.asarray(_plane_masks(ny, nz))
+    out = pl.pallas_call(
+        functools.partial(_fold_kernel, nz, c, nx),
+        out_shape=jax.ShapeDtypeStruct((nx, p, c), de_flat.dtype),
+        grid=(nx,),
+        in_specs=[
+            pl.BlockSpec((1, p, c8), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, p, c8),
+                         lambda i: (jnp.maximum(i - 1, 0), 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((p, 2), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, p, c), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(d3, d3, masks)
+    return out.reshape(nx * p, c)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2))
+def expand_grid_pallas(grid_flat: jnp.ndarray, shape: tuple[int, int, int],
+                       interpret: bool = False) -> jnp.ndarray:
+    """Corner-expand a flat [M, C] grid to [M, 8C] (Pallas fast path).
+
+    Bit-identical to `ops.trilinear.expand_grid(...).e`; backward pass is
+    the streaming fold kernel (the exact transpose).
+    """
+    return _expand_call(grid_flat, shape, interpret)
+
+
+def _expand_fwd(grid_flat, shape, interpret):
+    return _expand_call(grid_flat, shape, interpret), None
+
+
+def _expand_bwd(shape, interpret, _res, g):
+    return (_fold_call(g, shape, interpret),)
+
+
+expand_grid_pallas.defvjp(_expand_fwd, _expand_bwd)

@@ -136,6 +136,26 @@ def expand_grid(grid: jnp.ndarray, shape: tuple[int, int, int]
                 ) -> ExpandedGrid:
     """Build the corner-expanded buffer E [M, 8C] from a flat [M, C] grid.
 
+    Dispatches to the Pallas streaming kernel on TPU (ops/pallas/expand.py:
+    one HBM pass each way for the expansion and its gradient fold; the XLA
+    slice+concat below materializes intermediate copies and measures ~4x
+    slower in situ).  Set NSTPU_NO_PALLAS_EXPAND=1 to force the XLA path.
+    """
+    import os
+    if (os.environ.get('NSTPU_NO_PALLAS_EXPAND') != '1'
+            and jax.default_backend() == 'tpu'):
+        from nice_slam_tpu.ops.pallas.expand import (
+            expand_grid_pallas, pallas_expand_ok)
+        flat = grid.reshape(-1, grid.shape[-1])
+        if pallas_expand_ok(shape, flat.shape[-1]):
+            return ExpandedGrid(expand_grid_pallas(flat, shape), shape)
+    return expand_grid_xla(grid, shape)
+
+
+def expand_grid_xla(grid: jnp.ndarray, shape: tuple[int, int, int]
+                    ) -> ExpandedGrid:
+    """XLA reference formulation of `expand_grid`.
+
     E[(x*ny+y)*nz+z] = concat(G[x+dx, y+dy, z+dz] for dx,dy,dz in {0,1}^3),
     with edge-clamped neighbours (border padding).  Dense slices+concat, so
     its autodiff transpose is a dense shifted-add fold (no scatter).

@@ -52,3 +52,45 @@ def test_fused_gradients_match(setup):
     for a, b in zip(jax.tree.leaves(g_ref), jax.tree.leaves(g_fus)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=3e-4,
                                    rtol=2e-3)
+
+
+# ---------------------------------------------------------------------------
+# corner-expansion kernel + its fold (transpose) vs the XLA formulation
+# ---------------------------------------------------------------------------
+
+from nice_slam_tpu.ops.pallas.expand import expand_grid_pallas
+from nice_slam_tpu.ops.trilinear import expand_grid_xla
+
+
+@pytest.mark.parametrize('shape', [(5, 4, 3), (1, 4, 3), (4, 1, 3),
+                                   (4, 3, 1), (1, 1, 1), (2, 2, 2),
+                                   (7, 5, 6)])
+def test_expand_pallas_matches_xla(shape):
+    nx, ny, nz = shape
+    m = nx * ny * nz
+    g = jnp.asarray(np.random.default_rng(1).normal(
+        size=(m, 8)).astype(np.float32))
+    ref = expand_grid_xla(g, shape).e
+    out = expand_grid_pallas(g, shape, True)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+
+@pytest.mark.parametrize('shape', [(5, 4, 3), (1, 4, 3), (4, 1, 3),
+                                   (4, 3, 1), (2, 2, 2), (7, 5, 6)])
+def test_expand_pallas_fold_matches_xla_grad(shape):
+    nx, ny, nz = shape
+    m = nx * ny * nz
+    rng = np.random.default_rng(2)
+    g = jnp.asarray(rng.normal(size=(m, 8)).astype(np.float32))
+    cot = jnp.asarray(rng.normal(size=(m, 64)).astype(np.float32))
+
+    def loss_ref(g):
+        return jnp.vdot(expand_grid_xla(g, shape).e, cot)
+
+    def loss_pal(g):
+        return jnp.vdot(expand_grid_pallas(g, shape, True), cot)
+
+    g_ref = jax.grad(loss_ref)(g)
+    g_pal = jax.grad(loss_pal)(g)
+    np.testing.assert_allclose(np.asarray(g_pal), np.asarray(g_ref),
+                               atol=1e-5, rtol=1e-5)
