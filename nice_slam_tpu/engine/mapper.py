@@ -166,14 +166,22 @@ def build_stage_losses(*, model: SceneModel, rcfg: RenderConfig,
         use_depth = not (mcfg.coarse_mapper or stage == 'coarse')
 
         def loss_fn(opt_params, frozen_dec, colors, depths, key):
+            if not mcfg.ba:
+                # BA off: poses are constants, not leaves (the reference
+                # never builds camera tensors then, Mapper.py:430-455);
+                # pruning their grads saves ~1 ms/iter in situ.
+                opt_params = {**opt_params,
+                              'cams': jax.lax.stop_gradient(
+                                  opt_params['cams'])}
             params = full_params(opt_params['dec'], frozen_dec)
             grids = opt_params['grids'] if nice else None
             if nice and model.expanded:
-                # rebuilt every iteration (the grids change under Adam);
-                # autodiff transposes the dense expansion into a shifted-add
-                # fold, so the grid-grad scatter is one wide row per point
+                # rebuilt every iteration (the grids change under Adam) and
+                # limited to the volumes THIS stage samples; autodiff
+                # transposes the dense expansion into a shifted-add fold,
+                # so the grid-grad scatter is one wide row per point
                 from nice_slam_tpu.models.grids import prepare_grids
-                grids = prepare_grids(grids, model.grid_shapes)
+                grids = prepare_grids(grids, model.grid_shapes, stage=stage)
             o, d, dgt, cgt = _window_rays(
                 opt_params['cams'], colors, depths, key,
                 n_frames, pix_per_frame, intr)

@@ -221,6 +221,10 @@ class SlamSystem:
 
         self._track_fn = None
         self._map_fns: dict[tuple, Any] = {}
+        # corner-expanded grids for tracking, reused across the frames
+        # between two mapping calls (the grids only change when a mapping
+        # call commits; re-expanding per tracked frame costs ~1-2 ms/frame)
+        self._tracking_grids = None
         self.timers = PhaseTimers()
         self.mapping_idx = -1
         self.selected_keyframes: dict[int, list] = {}
@@ -321,6 +325,18 @@ class SlamSystem:
             return self.opt_dec['imap']
         return {**self.frozen_dec, **self.opt_dec}
 
+    def _grids_for_tracking(self):
+        """Color-stage corner-expanded view of the current grids, cached
+        until the next mapping call commits new grids."""
+        if not self.nice:
+            return None
+        if self._tracking_grids is None:
+            from nice_slam_tpu.models.grids import prepare_grids
+            self._tracking_grids = prepare_grids(
+                self.grids, self.model.grid_shapes,
+                enable=self.model.expanded, stage='color')
+        return self._tracking_grids
+
     # ------------------------------------------------------------------
     # tracking
     # ------------------------------------------------------------------
@@ -348,7 +364,7 @@ class SlamSystem:
                     intr=self.intr)
             self.key, sub = jax.random.split(self.key)
             best_cam7, _, losses = self._track_fn(
-                self.full_dec_params(), self.grids if self.nice else None,
+                self.full_dec_params(), self._grids_for_tracking(),
                 color, depth, cam7, sub)
             c2w = np.eye(4, dtype=np.float32)
             c2w[:3, :4] = np.asarray(c2w_from_tensor_4x4(best_cam7))[:3, :4]
@@ -502,6 +518,7 @@ class SlamSystem:
 
             # commit state
             self.grids = opt_params['grids'] if self.nice else {}
+            self._tracking_grids = None  # expansion is stale
             for k in opt_dec:
                 self.opt_dec[k] = opt_params['dec'][k]
             if ba:
@@ -575,6 +592,7 @@ class SlamSystem:
         self.grids = {
             k: jnp.asarray(v).reshape(-1, v.shape[-1])
             for k, v in state['grids'].items()}
+        self._tracking_grids = None
         self.opt_dec = jax.tree.map(jnp.asarray, state['opt_dec'])
         self.frozen_dec = jax.tree.map(jnp.asarray, state['frozen_dec'])
         self.estimate_c2w = np.asarray(state['estimate_c2w'])

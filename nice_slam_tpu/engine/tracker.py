@@ -119,9 +119,12 @@ def make_track_frame(*, model: SceneModel, rcfg: RenderConfig,
     def track_frame(params, grids, gt_color, gt_depth, cam7_init, key):
         if model.kind == 'nice' and model.expanded:
             # grids are constant across the frame's scan: corner-expand once
-            # so each render pays one gathered row per sample point
+            # so each render pays one gathered row per sample point.  The
+            # orchestrator passes already-expanded grids (they change only
+            # when a mapping call lands, every `every_frame` frames), making
+            # this a no-op there.
             from nice_slam_tpu.models.grids import prepare_grids
-            grids = prepare_grids(grids, model.grid_shapes)
+            grids = prepare_grids(grids, model.grid_shapes, stage='color')
 
         def body(carry, it):
             cam7, opt_state, best_loss, best_cam7 = carry

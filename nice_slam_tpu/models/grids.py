@@ -97,8 +97,19 @@ def static_grid_shapes(cfg: GridConfig) -> tuple:
     return tuple(sorted(grid_shapes(cfg).items()))
 
 
+# Which volumes each render stage samples (models/decoders.nice_eval):
+# coarse -> coarse only; middle -> middle; fine -> middle + fine;
+# color -> middle + fine + color.
+STAGE_NEEDS = {
+    'coarse': ('coarse',),
+    'middle': ('middle',),
+    'fine': ('middle', 'fine'),
+    'color': ('middle', 'fine', 'color'),
+}
+
+
 def prepare_grids(grids: dict[str, jnp.ndarray], grid_shapes_t: tuple,
-                  enable: bool = True) -> dict:
+                  enable: bool = True, stage: str | None = None) -> dict:
     """Corner-expand flat grids for the one-gathered-row-per-point fast path
     (ops/trilinear.ExpandedGrid).  Call once per fixed-grid evaluation scope
     (a tracking frame, a whole-image render, a mesh lattice query); the
@@ -106,7 +117,14 @@ def prepare_grids(grids: dict[str, jnp.ndarray], grid_shapes_t: tuple,
     expansion's transpose into a dense fold.  No-op for already-expanded
     entries or when disabled.
 
-    When fine and color are both present with the same lattice shape they
+    `stage` limits the expansion to the volumes that stage actually samples
+    (STAGE_NEEDS) — the expansion streams the whole volume (9x its size in
+    HBM traffic each way under grad), so expanding the untouched fine+color
+    volumes during the mapper's middle stage costs ~2 ms/iteration for
+    nothing (scripts/ablate_map_step.py).  Unneeded volumes pass through
+    raw (they are never sampled, so the raw buffers are dead operands).
+
+    When fine and color are both needed with the same lattice shape they
     are concatenated channel-wise into one 'finecolor' buffer before
     expansion, so the fine/color stages pay ONE gathered (and, under grad,
     one scattered) row per point for both volumes; `nice_eval` splits the
@@ -116,16 +134,20 @@ def prepare_grids(grids: dict[str, jnp.ndarray], grid_shapes_t: tuple,
         return grids
     from nice_slam_tpu.ops.trilinear import ExpandedGrid, expand_grid
     shapes = dict(grid_shapes_t)
+    need = set(STAGE_NEEDS[stage] if stage is not None else grids)
     out = {}
-    fuse = ('fine' in grids and 'color' in grids
+    fuse = ('fine' in need and 'color' in need
+            and 'fine' in grids and 'color' in grids
             and not isinstance(grids['fine'], ExpandedGrid)
             and not isinstance(grids['color'], ExpandedGrid)
             and shapes.get('fine') == shapes.get('color'))
     for name, g in grids.items():
         if fuse and name in ('fine', 'color'):
             continue
-        out[name] = (g if isinstance(g, ExpandedGrid)
-                     else expand_grid(g, shapes[name]))
+        if name not in need or isinstance(g, ExpandedGrid):
+            out[name] = g
+        else:
+            out[name] = expand_grid(g, shapes[name])
     if fuse:
         both = jnp.concatenate([grids['fine'], grids['color']], axis=-1)
         out['finecolor'] = expand_grid(both, shapes['fine'])

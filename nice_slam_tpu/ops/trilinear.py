@@ -217,4 +217,7 @@ def sample_grid_feature(grid: jnp.ndarray | ExpandedGrid, p: jnp.ndarray,
     """
     if isinstance(grid, ExpandedGrid):
         return trilinear_interp_expanded(grid, normalize_coords(p, bound))
+    if hasattr(grid, 'slab_h'):  # parallel.blocks.BlockedGrid (avoid cycle)
+        from nice_slam_tpu.parallel.blocks import trilinear_interp_blocked
+        return trilinear_interp_blocked(grid, normalize_coords(p, bound))
     return trilinear_interp(grid, normalize_coords(p, bound), shape)

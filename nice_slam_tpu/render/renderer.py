@@ -165,7 +165,7 @@ def render_image(params: Any, grids: dict[str, jnp.ndarray] | None,
     """
     if model.kind == 'nice' and model.expanded and grids:
         from nice_slam_tpu.models.grids import prepare_grids
-        grids = prepare_grids(grids, model.grid_shapes)
+        grids = prepare_grids(grids, model.grid_shapes, stage=stage)
     rays_o, rays_d = rays_full_image(c2w, intr)
     n = intr.H * intr.W
     chunk = min(rcfg.ray_chunk, n)
