@@ -13,10 +13,23 @@ default everywhere) that machinery serializes to a fixed interleaving:
 
 This orchestrator executes exactly that interleaving from ONE Python
 controller: tracking and mapping are jitted programs exchanging pytrees of
-device arrays — no processes, no shared memory, no polling.  'loose'/'free'
-currently run the same schedule (JAX dispatch is already asynchronous; an
-overlapped two-stream variant is a planned optimization, not a semantic
-change, because strict is the accuracy-bearing mode).
+device arrays — no processes, no shared memory, no polling.
+
+'loose'/'free' are the overlapped modes: mapping is dispatched
+asynchronously (JAX dispatch already is) and the tracker keeps rendering
+against its current grid snapshot until the mapping outputs are actually
+ready (`jax.Array.is_ready`, no polling sleeps) — the exact analog of the
+reference tracker cloning the shared grids whenever it passes its gate
+(Tracker.py:137-149).  'loose' additionally forces a refresh once the
+tracker gets more than every_frame + every_frame//2 frames ahead of the
+last consumed mapping (the reference's loose window, Tracker.py:183-187);
+'free' never forces.  When the host exposes more than one device (the
+reference runs tracking/mapping on separate CUDA devices via
+tracking.device/mapping.device, nice_slam.yaml:38,54), mapping executes on
+device 1 and tracking on device 0, so the two phases genuinely overlap;
+grid snapshots move device-to-device, exactly the §5.8 design.  BA-active
+mapping calls commit synchronously in every mode (their pose writes feed
+the motion model).
 
 State ownership (single-writer, like the reference):
   * tracker writes estimate_c2w_list[idx]
@@ -225,6 +238,21 @@ class SlamSystem:
         # between two mapping calls (the grids only change when a mapping
         # call commits; re-expanding per tracked frame costs ~1-2 ms/frame)
         self._tracking_grids = None
+
+        # sync method + device pipeline (see module docstring)
+        self.sync_method = cfg.get('sync_method', 'strict')
+        devs = jax.devices()
+        self.track_device = devs[0]
+        self.map_device = (devs[1] if self.sync_method != 'strict'
+                           and len(devs) > 1 else devs[0])
+        # (frame_idx, one mapping output leaf) of a dispatched-but-not-yet-
+        # consumed mapping call; the tracker refreshes its snapshot from
+        # self.grids when this is ready (or the loose gate forces it)
+        self._pending_refresh: tuple[int, jnp.ndarray] | None = None
+        if self.map_device is not self.track_device and nice:
+            # frustum-mask node coordinates live with the mapper
+            self._grid_points = jax.device_put(self._grid_points,
+                                               self.map_device)
         self.timers = PhaseTimers()
         self.mapping_idx = -1
         self.selected_keyframes: dict[int, list] = {}
@@ -311,11 +339,14 @@ class SlamSystem:
     # helpers
     # ------------------------------------------------------------------
 
-    def _device_frame(self, idx, color_np, depth_np):
-        if idx not in self._kf_device:
-            self._kf_device[idx] = (jnp.asarray(color_np),
-                                    jnp.asarray(depth_np))
-        return self._kf_device[idx]
+    def _device_frame(self, idx, color_np, depth_np, device=None):
+        key = (idx, None if device is None else device.id)
+        if key not in self._kf_device:
+            c, d = jnp.asarray(color_np), jnp.asarray(depth_np)
+            if device is not None:
+                c, d = jax.device_put((c, d), device)
+            self._kf_device[key] = (c, d)
+        return self._kf_device[key]
 
     def _cam7(self, c2w_np: np.ndarray) -> jnp.ndarray:
         return tensor_from_c2w(jnp.asarray(c2w_np[:3, :4]))
@@ -325,16 +356,23 @@ class SlamSystem:
             return self.opt_dec['imap']
         return {**self.frozen_dec, **self.opt_dec}
 
-    def _grids_for_tracking(self):
-        """Color-stage corner-expanded view of the current grids, cached
-        until the next mapping call commits new grids."""
-        if not self.nice:
-            return None
+    def _tracking_snapshot(self):
+        """(decoder params, color-stage corner-expanded grids) for tracking,
+        snapshotted onto the tracking device and cached until the tracker
+        consumes the next mapping update (the reference's
+        update_para_from_mapping deepcopy+clone, Tracker.py:137-149)."""
         if self._tracking_grids is None:
-            from nice_slam_tpu.models.grids import prepare_grids
-            self._tracking_grids = prepare_grids(
-                self.grids, self.model.grid_shapes,
-                enable=self.model.expanded, stage='color')
+            grids = self.grids if self.nice else None
+            params = self.full_dec_params()
+            if self.map_device is not self.track_device:
+                grids, params = jax.device_put((grids, params),
+                                               self.track_device)
+            if self.nice:
+                from nice_slam_tpu.models.grids import prepare_grids
+                grids = prepare_grids(grids, self.model.grid_shapes,
+                                      enable=self.model.expanded,
+                                      stage='color')
+            self._tracking_grids = (params, grids)
         return self._tracking_grids
 
     # ------------------------------------------------------------------
@@ -346,6 +384,18 @@ class SlamSystem:
         (Tracker.run :151-299)."""
         t0 = time.perf_counter()
         color, depth = self._device_frame(idx, color_np, depth_np)
+
+        # overlapped modes: consume a finished (or gate-forced) mapping
+        # update; otherwise keep rendering against the current snapshot
+        if self._pending_refresh is not None:
+            pidx, leaf = self._pending_refresh
+            gate = self.mcfg.every_frame + self.mcfg.every_frame // 2
+            forced = (self.sync_method == 'loose' and idx - pidx > gate)
+            if forced:
+                jax.block_until_ready(leaf)
+            if forced or leaf.is_ready():
+                self._tracking_grids = None
+                self._pending_refresh = None
 
         if idx == 0 or self.gt_camera:
             c2w = gt_c2w_np
@@ -363,9 +413,9 @@ class SlamSystem:
                     model=self.model, rcfg=self.rcfg, tcfg=self.tcfg,
                     intr=self.intr)
             self.key, sub = jax.random.split(self.key)
+            params_t, grids_t = self._tracking_snapshot()
             best_cam7, _, losses = self._track_fn(
-                self.full_dec_params(), self._grids_for_tracking(),
-                color, depth, cam7, sub)
+                params_t, grids_t, color, depth, cam7, sub)
             c2w = np.eye(4, dtype=np.float32)
             c2w[:3, :4] = np.asarray(c2w_from_tensor_4x4(best_cam7))[:3, :4]
             if self.verbose:
@@ -421,7 +471,10 @@ class SlamSystem:
         t0 = time.perf_counter()
         mcfg = self.coarse_mcfg if coarse else self.mcfg
         store = self.coarse_keyframes if coarse else self.keyframes
-        color, depth = self._device_frame(idx, color_np, depth_np)
+        map_dev = (self.map_device
+                   if self.map_device is not self.track_device else None)
+        color, depth = self._device_frame(idx, color_np, depth_np,
+                                          device=map_dev)
         cur_c2w = self.estimate_c2w[idx].copy()
 
         refine = (idx == self.n_img - 1 and mcfg.color_refine
@@ -468,7 +521,8 @@ class SlamSystem:
             colors, depths, cam7s, cam_mask = [], [], [], []
             for pos in sel:
                 kf = store.frames[pos]
-                c_dev, d_dev = self._device_frame(kf.idx, kf.color, kf.depth)
+                c_dev, d_dev = self._device_frame(kf.idx, kf.color, kf.depth,
+                                                  device=map_dev)
                 colors.append(c_dev)
                 depths.append(d_dev)
                 cam7s.append(self._cam7(kf.est_c2w))
@@ -511,14 +565,29 @@ class SlamSystem:
                 'dec': opt_dec,
             }
             self.key, sub = jax.random.split(self.key)
+            frozen_dec = self.frozen_dec
+            if map_dev is not None:
+                # two-device pipeline: pin the mapping operands to the
+                # mapping device (uncommitted operands follow; the grids
+                # already live there after the first call)
+                opt_params, frozen_dec, masks, sub = jax.device_put(
+                    (opt_params, frozen_dec, masks, sub), map_dev)
             opt_params, losses = map_fn(
-                opt_params, self.frozen_dec, masks, lr_tab, stage_idx,
+                opt_params, frozen_dec, masks, lr_tab, stage_idx,
                 jnp.asarray(cam_mask), jnp.stack(colors), jnp.stack(depths),
                 sub)
 
-            # commit state
+            # commit state (dispatch-only: the arrays are futures; nothing
+            # here blocks on device compute unless verbose/BA reads values)
             self.grids = opt_params['grids'] if self.nice else {}
-            self._tracking_grids = None  # expansion is stale
+            if coarse:
+                pass  # tracking never samples the coarse grid
+            elif self.sync_method != 'strict' and not ba:
+                # overlapped modes: the tracker keeps its snapshot until
+                # this call's outputs are ready (consumed in track())
+                self._pending_refresh = (idx, losses)
+            else:
+                self._tracking_grids = None  # snapshot is stale
             for k in opt_dec:
                 self.opt_dec[k] = opt_params['dec'][k]
             if ba:
@@ -670,9 +739,10 @@ class SlamSystem:
 
         self._log_metrics(idx)
 
-        # release the device copy of non-keyframe images
-        if idx not in self.keyframes.indices and idx in self._kf_device:
-            del self._kf_device[idx]
+        # release the device copies of non-keyframe images
+        if idx not in self.keyframes.indices:
+            for k in [k for k in self._kf_device if k[0] == idx]:
+                del self._kf_device[k]
 
     def _log_metrics(self, idx: int) -> None:
         import json

@@ -44,6 +44,9 @@ class RenderConfig(NamedTuple):
     perturb: float = 0.0
     occupancy: bool = True
     ray_chunk: int = 100000   # render_image chunking (Renderer.py:6-10)
+    # pose gradient through the z sampling locations (see
+    # core.sampling.near_far_from_depth); False = reference semantics
+    grad_z: bool = True
 
 
 class SceneModel(NamedTuple):
@@ -95,7 +98,8 @@ def _z_values(key: jax.Array | None, rcfg: RenderConfig,
     """
     use_depth = gt_depth is not None and stage != 'coarse'
     near, far = near_far_from_depth(rays_o, rays_d, bound,
-                                    gt_depth if use_depth else None)
+                                    gt_depth if use_depth else None,
+                                    grad_z=rcfg.grad_z)
     z_vals = stratified_z_vals(
         rcfg.n_samples, near, far, lindisp=rcfg.lindisp,
         perturb=rcfg.perturb, key=key)
