@@ -69,20 +69,38 @@ def main():
 
     # ---- tracking: 200 px x 10 iters ----
     tcfg = TrackerConfig(pixels=200, iters=10)
-    track_fn = make_track_frame(model=model, rcfg=rcfg, tcfg=tcfg, intr=intr)
     opt_dec = {'fine': params['fine'], 'color': params['color']}
 
-    def run_track(k):
-        best, last, losses = track_fn(params, grids, color, depth, cam7, k)
-        return losses
+    # like the orchestrator: corner-expand once per mapping update, not per
+    # tracked frame (engine/slam._tracking_snapshot)
+    from nice_slam_tpu.models.grids import prepare_grids
+    track_grids = jax.jit(
+        lambda g: prepare_grids(g, model.grid_shapes, stage='color'))(grids)
 
-    jax.block_until_ready(run_track(key))  # compile
+    # compile-quality re-roll, like engine/slam._autotune_track_fn: XLA's
+    # draw on this program is nondeterministic (~9 ms vs ~50 ms binaries)
     n_frames = 20
-    t0 = time.perf_counter()
-    for i in range(n_frames):
-        out = run_track(jax.random.fold_in(key, i))
-    jax.block_until_ready(out)
-    track_s_per_frame = (time.perf_counter() - t0) / n_frames
+    track_s_per_frame = float('inf')
+    track_fn = None
+    for salt in range(3):
+        fn = make_track_frame(model=model, rcfg=rcfg, tcfg=tcfg, intr=intr,
+                              salt=salt)
+
+        def run_track(k, fn=fn):
+            best, last, losses = fn(params, track_grids, color, depth,
+                                    cam7, k)
+            return losses
+
+        jax.block_until_ready(run_track(key))  # compile
+        t0 = time.perf_counter()
+        for i in range(n_frames):
+            out = run_track(jax.random.fold_in(key, i))
+        jax.block_until_ready(out)
+        dt = (time.perf_counter() - t0) / n_frames
+        if dt < track_s_per_frame:
+            track_s_per_frame, track_fn = dt, fn
+        if track_s_per_frame < 0.025:
+            break
 
     # ---- mapping: 1000 px x 60 iters, 5-frame window ----
     n_win, n_iters = 5, 60

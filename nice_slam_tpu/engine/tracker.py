@@ -101,18 +101,26 @@ def tracking_loss(cam7: jnp.ndarray, params: Any, grids: Any,
 
 
 def make_track_frame(*, model: SceneModel, rcfg: RenderConfig,
-                     tcfg: TrackerConfig, intr: Intrinsics):
+                     tcfg: TrackerConfig, intr: Intrinsics, salt: int = 0):
     """Build the jitted per-frame tracking program.
 
     Returns a function (params, grids, gt_color, gt_depth, cam7_init, key)
     -> (best_cam7, last_cam7, losses[iters]) compiled once per shape set.
-    """
+
+    salt: mathematically inert constant baked into the program (folded to
+    +0.0 by XLA) that changes the pre-optimization HLO, and with it the
+    compilation-cache key.  XLA's TPU compile quality is nondeterministic
+    on this program (identical HLO has produced both ~9 ms and ~50 ms
+    binaries — buffer-layout assignment); the orchestrator times the
+    compiled program and re-rolls with salt+1 when it drew a slow binary
+    (engine/slam.py)."""
     if tcfg.separate_lr:
         lr_vec = jnp.concatenate([
             jnp.full((4,), tcfg.cam_lr * 0.2),  # rotation at 0.2x lr
             jnp.full((3,), tcfg.cam_lr)])
     else:
         lr_vec = jnp.full((7,), tcfg.cam_lr)
+    lr_vec = lr_vec + jnp.float32(salt) * 0.0
 
     loss_grad = jax.value_and_grad(tracking_loss)
 

@@ -65,6 +65,7 @@ class Mesher:
         self.intr = intr
         self.sharded_mesh = sharded_mesh
         self._ray_rcfg = rcfg if rcfg is not None else RenderConfig()
+        self._prepare_fn = None
         self._eval_chunk = jax.jit(
             lambda params, grids, pts, stage: eval_raw(
                 params, grids, pts, stage, self.model),
@@ -199,9 +200,14 @@ class Mesher:
                          else show_forecast)
         clean_mesh = cfg.clean_mesh if clean_mesh is None else clean_mesh
         if self.model.kind == 'nice' and self.model.expanded and grids:
-            # one corner-expansion serves the whole lattice query
-            from nice_slam_tpu.models.grids import prepare_grids
-            grids = prepare_grids(grids, self.model.grid_shapes)
+            # one corner-expansion serves the whole lattice query (jitted:
+            # eager pallas dispatch costs ~0.4 s/call on the axon stack)
+            if self._prepare_fn is None:
+                from nice_slam_tpu.models.grids import prepare_grids
+                shapes = self.model.grid_shapes
+                self._prepare_fn = jax.jit(
+                    lambda g: prepare_grids(g, shapes))
+            grids = self._prepare_fn(grids)
 
         points, xs, ys, zs = self.lattice()
         kf_c2ws = [kf.est_c2w for kf in keyframes.frames]
