@@ -1,0 +1,63 @@
+"""End-to-end wall-clock at the reference Demo budget (500 frames).
+
+The reference's only stated end-to-end number is the Demo run: a 500-frame
+ScanNet subset that "takes a few minutes" on a ~5 GB GPU
+(/root/reference/README.md:149, configs/Demo/demo.yaml).  This script runs
+the full system — tracking 1000 px x 30 iters, mapping 1000 px x 10 iters
+every 10 frames (window 10), coarse mapper, sync_method loose, 256^3 mesh
+every 50 frames, checkpoint at the end — on 500 synthetic 480x640 frames
+and reports total wall time including compiles.
+
+Usage: python scripts/bench_demo.py [n_frames]
+"""
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), 'tests'))
+
+
+def main(n_frames=500):
+    import numpy as np
+    from util import make_test_cfg
+
+    from nice_slam_tpu.engine.slam import SlamSystem
+
+    cfg = make_test_cfg(n_frames=n_frames, h=480, w=640)
+    cfg['sync_method'] = 'loose'
+    cfg['debug'] = {}
+    cfg['synthetic']['n_frames'] = n_frames
+    cfg['meshing']['resolution'] = 256
+    t = cfg['tracking']
+    t.update(pixels=1000, iters=30, lr=0.0005, ignore_edge_W=20,
+             ignore_edge_H=20)
+    m = cfg['mapping']
+    m.update(every_frame=10, mesh_freq=50, ckpt_freq=500, keyframe_every=50,
+             mapping_window_size=10, pixels=1000, iters_first=400, iters=10)
+    out = '/tmp/nstpu_demo_bench'
+
+    t0 = time.perf_counter()
+    slam = SlamSystem(cfg, nice=True, output=out, verbose=False)
+    slam.run()
+    total_s = time.perf_counter() - t0
+
+    t_err = np.linalg.norm(
+        slam.estimate_c2w[:, :3, 3] - slam.gt_c2w[:, :3, 3], axis=-1)
+    summ = slam.timers.summary()
+    print(json.dumps({
+        'metric': 'demo_500_wall_s',
+        'value': round(total_s, 1),
+        'unit': 's',
+        'frames': n_frames,
+        'fps_incl_compiles': round(n_frames / total_s, 2),
+        'ate_like_max_terr_m': round(float(t_err.max()), 4),
+        'ate_like_mean_terr_m': round(float(t_err.mean()), 4),
+        **summ,
+    }))
+
+
+if __name__ == '__main__':
+    main(int(sys.argv[1]) if len(sys.argv) > 1 else 500)
