@@ -572,7 +572,21 @@ class SlamSystem:
             depths.append(depth)
             cam7s.append(self._cam7(cur_c2w))
             cam_mask.append(1.0)
-            n_frames = len(colors)
+            real_n = len(colors)
+            # Pad the window to its static size by CYCLING the real frames,
+            # so one compiled program serves every fill level (window
+            # growth was costing a fresh ~60 s XLA compile per new size).
+            # Each unique frame keeps the reference's total pixel budget:
+            # slots x (pixels / window) ~= pixels / real_n per frame
+            # (exact when window % real_n == 0).  Duplicate slots are
+            # pose-frozen; their primary slot carries the BA update.
+            n_frames = max(window_size, real_n)
+            for k in range(n_frames - real_n):
+                src = k % real_n
+                colors.append(colors[src])
+                depths.append(depths[src])
+                cam7s.append(cam7s[src])
+                cam_mask.append(0.0)
             if not ba:
                 cam_mask = [0.0] * n_frames
 
@@ -637,7 +651,7 @@ class SlamSystem:
                 for slot, pos in enumerate(sel):
                     if pos != oldest:
                         store.frames[pos].est_c2w = new_cams[slot]
-                cur_c2w = new_cams[-1]
+                cur_c2w = new_cams[real_n - 1]   # current frame's slot
                 self.estimate_c2w[idx] = cur_c2w
 
             if self.verbose:
