@@ -124,8 +124,8 @@ def main():
     cam_mask = jnp.asarray([0.0] + [1.0] * (n_win - 1))
 
     def run_map(k):
-        out, losses = map_fn(opt_params, frozen, None, lr_tab, stage_idx,
-                             cam_mask, colors, depths, k)
+        out, _, losses = map_fn(opt_params, frozen, None, lr_tab, stage_idx,
+                                cam_mask, colors, depths, k)
         return losses
 
     jax.block_until_ready(run_map(key))  # compile

@@ -229,7 +229,14 @@ def make_map_step(*, model: SceneModel, rcfg: RenderConfig,
 
     The returned jitted function:
       (opt_params, frozen_dec, masks, lr_tab, stage_idx, cam_mask,
-       colors, depths, key) -> (opt_params', losses[n_iters])
+       colors, depths, key, opt_state=None)
+      -> (opt_params', opt_state', losses[n_iters])
+    `opt_state=None` starts a fresh Adam (the reference's fresh optimizer
+    per mapping invocation); passing the returned state chains calls into
+    one longer optimization — the orchestrator runs the 1500-iteration
+    first-frame mapping as chunked calls of THIS program (XLA compile time
+    grows superlinearly with scan length on this stack: a 400-iteration
+    program compiles in ~246 s vs ~20 s for 10 iterations).
     with
       opt_params = {'cams': [F, 7], 'grids': {...}, 'dec': {...}}
       frozen_dec: non-trainable decoder params (merged at eval time)
@@ -245,7 +252,7 @@ def make_map_step(*, model: SceneModel, rcfg: RenderConfig,
     grad_fns = [jax.value_and_grad(f) for f in loss_fns]
 
     def map_step(opt_params, frozen_dec, masks, lr_tab, stage_idx, cam_mask,
-                 colors, depths, key):
+                 colors, depths, key, opt_state=None):
         def body(carry, it):
             opt_p, opt_state = carry
             k = jax.random.fold_in(key, it)
@@ -279,9 +286,10 @@ def make_map_step(*, model: SceneModel, rcfg: RenderConfig,
                 opt_p, grads, opt_state, lr_prefix, mask=mask_prefix)
             return (opt_p, opt_state), loss
 
-        init = (opt_params, adam_init(opt_params))
-        (opt_params_out, _), losses = jax.lax.scan(
+        init = (opt_params,
+                adam_init(opt_params) if opt_state is None else opt_state)
+        (opt_params_out, opt_state_out), losses = jax.lax.scan(
             body, init, jnp.arange(n_iters))
-        return opt_params_out, losses
+        return opt_params_out, opt_state_out, losses
 
     return jax.jit(map_step)

@@ -541,6 +541,14 @@ class SlamSystem:
             n_iters = mcfg.iters // outer_iters
             lr_factor = mcfg.lr_factor
 
+        # XLA compile time grows superlinearly with scan length on this
+        # stack (400 iterations: ~246 s; 10: ~20 s), so every call runs as
+        # chunks of the NORMAL per-call iteration count with the Adam state
+        # threaded through — the 1500-iteration first-frame mapping then
+        # reuses the same compiled program as every later call.
+        chunk_iters = max(mcfg.iters // (1 if self.nice else 3), 1)
+        chunk_iters = min(chunk_iters, n_iters)
+
         mcfg_eff = mcfg._replace(middle_iter_ratio=middle_ratio,
                                  fine_iter_ratio=fine_ratio,
                                  fix_color=fix_color)
@@ -600,19 +608,34 @@ class SlamSystem:
                 self.frozen_dec = {**self.frozen_dec,
                                    'color': opt_dec.pop('color')}
 
-            cache_key = (coarse, n_frames, n_iters, pix_per_frame,
+            cache_key = (coarse, n_frames, chunk_iters, pix_per_frame,
                          frustum_on, tuple(sorted(opt_dec)))
             if cache_key not in self._map_fns:
-                self._map_fns[cache_key] = make_map_step(
-                    model=self.model, rcfg=self.rcfg, mcfg=mcfg_eff,
-                    intr=self.intr, n_frames=n_frames, n_iters=n_iters,
-                    pix_per_frame=pix_per_frame)
-            map_fn = self._map_fns[cache_key]
+                from nice_slam_tpu.utils.optim import adam_init
+                # adam_init is jitted so every chunk (including the first)
+                # calls the SAME state-threading variant of the program —
+                # one heavy compile, not a None-state variant plus this one
+                self._map_fns[cache_key] = (
+                    make_map_step(
+                        model=self.model, rcfg=self.rcfg, mcfg=mcfg_eff,
+                        intr=self.intr, n_frames=n_frames,
+                        n_iters=chunk_iters, pix_per_frame=pix_per_frame),
+                    jax.jit(adam_init))
+            map_fn, init_fn = self._map_fns[cache_key]
 
-            lr_tab = jnp.asarray(lr_table(
-                mcfg_eff, n_iters, lr_factor, self.nice, ba))
-            stage_idx = jnp.asarray(stage_schedule(
-                mcfg_eff, n_iters, self.nice))
+            # full-length schedules, sliced per chunk; the tail chunk pads
+            # with zero-lr iterations (no parameter/moment effect persists —
+            # the Adam state dies with this call)
+            n_chunks = -(-n_iters // chunk_iters)
+            pad_it = n_chunks * chunk_iters - n_iters
+            lr_full = lr_table(mcfg_eff, n_iters, lr_factor, self.nice, ba)
+            stage_full = stage_schedule(mcfg_eff, n_iters, self.nice)
+            if pad_it:
+                lr_full = np.concatenate(
+                    [lr_full, np.zeros((pad_it, lr_full.shape[1]),
+                                       lr_full.dtype)])
+                stage_full = np.concatenate(
+                    [stage_full, np.repeat(stage_full[-1:], pad_it)])
 
             opt_params = {
                 'cams': jnp.stack(cam7s),
@@ -627,10 +650,20 @@ class SlamSystem:
                 # already live there after the first call)
                 opt_params, frozen_dec, masks, sub = jax.device_put(
                     (opt_params, frozen_dec, masks, sub), map_dev)
-            opt_params, losses = map_fn(
-                opt_params, frozen_dec, masks, lr_tab, stage_idx,
-                jnp.asarray(cam_mask), jnp.stack(colors), jnp.stack(depths),
-                sub)
+            cam_mask_d = jnp.asarray(cam_mask)
+            colors_d = jnp.stack(colors)
+            depths_d = jnp.stack(depths)
+            opt_state, loss_chunks = init_fn(opt_params), []
+            for c in range(n_chunks):
+                sl = slice(c * chunk_iters, (c + 1) * chunk_iters)
+                opt_params, opt_state, losses_c = map_fn(
+                    opt_params, frozen_dec, masks,
+                    jnp.asarray(lr_full[sl]), jnp.asarray(stage_full[sl]),
+                    cam_mask_d, colors_d, depths_d,
+                    jax.random.fold_in(sub, c), opt_state)
+                loss_chunks.append(losses_c)
+            losses = (loss_chunks[0] if n_chunks == 1
+                      else jnp.concatenate(loss_chunks)[:n_iters])
 
             # commit state (dispatch-only: the arrays are futures; nothing
             # here blocks on device compute unless verbose/BA reads values)

@@ -315,7 +315,7 @@ def make_blocked_map_step(*, mesh: jax.sharding.Mesh, model: SceneModel,
     grad_fns = [blocked_grad(f) for f in loss_fns]
 
     def map_step(opt_params, frozen_dec, masks, lr_tab, stage_idx, cam_mask,
-                 colors, depths, key):
+                 colors, depths, key, opt_state=None):
         def body(carry, it):
             opt_p, opt_state = carry
             k = jax.random.fold_in(key, it)
@@ -344,9 +344,10 @@ def make_blocked_map_step(*, mesh: jax.sharding.Mesh, model: SceneModel,
                 opt_p, grads, opt_state, lr_prefix, mask=mask_prefix)
             return (opt_p, opt_state), loss
 
-        init = (opt_params, adam_init(opt_params))
-        (out, _), losses = jax.lax.scan(body, init, jnp.arange(n_iters))
-        return out, losses
+        init = (opt_params,
+                adam_init(opt_params) if opt_state is None else opt_state)
+        (out, state), losses = jax.lax.scan(body, init, jnp.arange(n_iters))
+        return out, state, losses
 
     return jax.jit(map_step)
 

@@ -118,7 +118,7 @@ def test_blocked_map_step_matches_ray_sharded():
     ref_step = make_sharded_map_step(
         mesh=ray_mesh, model=model_plain, rcfg=rcfg, mcfg=mcfg, intr=intr,
         n_frames=n_frames, n_iters=n_iters, pix_per_frame=pix_per_frame)
-    ref_out, ref_losses = ref_step(
+    ref_out, _, ref_losses = ref_step(
         {'cams': cams, 'grids': grids, 'dec': opt_dec}, frozen, None,
         lr_tab, stage_idx, cam_mask, colors, depths, k)
 
@@ -129,7 +129,7 @@ def test_blocked_map_step_matches_ray_sharded():
     blk_step = make_blocked_map_step(
         mesh=mesh, model=model, rcfg=rcfg, mcfg=mcfg, intr=intr,
         n_frames=n_frames, n_iters=n_iters, pix_per_frame=pix_per_frame)
-    blk_out, blk_losses = blk_step(
+    blk_out, _, blk_losses = blk_step(
         {'cams': cams, 'grids': padded, 'dec': opt_dec}, frozen, None,
         lr_tab, stage_idx, cam_mask, colors, depths, k)
 

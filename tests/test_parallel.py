@@ -60,9 +60,9 @@ def test_sharded_matches_single_chip_shapes():
         mesh=mesh, model=model, rcfg=rcfg, mcfg=mcfg, intr=intr,
         n_frames=2, n_iters=4, pix_per_frame=16)
 
-    out_s, loss_s = single(opt_params, frozen, None, lr_tab, stage_idx,
+    out_s, _, loss_s = single(opt_params, frozen, None, lr_tab, stage_idx,
                            cam_mask, colors, depths, key)
-    out_m, loss_m = sharded(opt_params, frozen, None, lr_tab, stage_idx,
+    out_m, _, loss_m = sharded(opt_params, frozen, None, lr_tab, stage_idx,
                             cam_mask, colors, depths, key)
     assert jax.tree.structure(out_s) == jax.tree.structure(out_m)
     assert np.isfinite(np.asarray(loss_s)).all()
