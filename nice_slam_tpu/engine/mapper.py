@@ -220,6 +220,52 @@ def build_stage_losses(*, model: SceneModel, rcfg: RenderConfig,
     return branch_stages, [loss_for_stage(s) for s in branch_stages]
 
 
+def scan_map_iters(grad_fns, nice, n_iters, opt_params, frozen_dec, masks,
+                   lr_tab, stage_idx, cam_mask, colors, depths, key,
+                   opt_state=None):
+    """The shared per-call optimization scan: `n_iters` of (stage-dispatch
+    gradient -> per-group lr lookup -> masked Adam), threading the Adam
+    state.  Used by the single-chip (make_map_step), ray-sharded
+    (parallel.sharded) and grid-blocked (parallel.blocks) step builders —
+    they differ only in how `grad_fns` are built."""
+    def body(carry, it):
+        opt_p, state = carry
+        k = jax.random.fold_in(key, it)
+        lrs = lr_tab[it]
+        if len(grad_fns) == 1:
+            loss, grads = grad_fns[0](opt_p, frozen_dec, colors, depths, k)
+        else:
+            bidx = stage_idx[it] - 1  # middle=1 -> branch 0, etc.
+            loss, grads = jax.lax.switch(
+                bidx, grad_fns, opt_p, frozen_dec, colors, depths, k)
+
+        if nice:
+            lr_prefix = {
+                'cams': lrs[LR_CAM],
+                'grids': {name: lrs[1 + STAGE_ORDER.index(name)]
+                          for name in opt_p['grids']},
+                'dec': {kk: (lrs[LR_DEC_MIDDLE] if kk == 'middle'
+                             else lrs[LR_DECODERS])
+                        for kk in opt_p['dec']},
+            }
+        else:
+            lr_prefix = {'cams': lrs[LR_CAM], 'grids': 0.0,
+                         'dec': lrs[LR_DECODERS]}
+        mask_prefix = {
+            'cams': cam_mask[:, None],
+            'grids': masks if masks is not None else 1.0,
+            'dec': 1.0,
+        }
+        opt_p, state = adam_update(opt_p, grads, state, lr_prefix,
+                                   mask=mask_prefix)
+        return (opt_p, state), loss
+
+    init = (opt_params,
+            adam_init(opt_params) if opt_state is None else opt_state)
+    (out, state), losses = jax.lax.scan(body, init, jnp.arange(n_iters))
+    return out, state, losses
+
+
 def make_map_step(*, model: SceneModel, rcfg: RenderConfig,
                   mcfg: MapperConfig, intr: Intrinsics, n_frames: int,
                   n_iters: int, pix_per_frame: int):
@@ -253,43 +299,8 @@ def make_map_step(*, model: SceneModel, rcfg: RenderConfig,
 
     def map_step(opt_params, frozen_dec, masks, lr_tab, stage_idx, cam_mask,
                  colors, depths, key, opt_state=None):
-        def body(carry, it):
-            opt_p, opt_state = carry
-            k = jax.random.fold_in(key, it)
-            lrs = lr_tab[it]
-
-            if len(grad_fns) == 1:
-                loss, grads = grad_fns[0](opt_p, frozen_dec, colors, depths, k)
-            else:
-                bidx = stage_idx[it] - 1  # middle=1 -> branch 0, etc.
-                loss, grads = jax.lax.switch(
-                    bidx, grad_fns, opt_p, frozen_dec, colors, depths, k)
-
-            if nice:
-                lr_prefix = {
-                    'cams': lrs[LR_CAM],
-                    'grids': {name: lrs[1 + STAGE_ORDER.index(name)]
-                              for name in opt_p['grids']},
-                    'dec': {k: (lrs[LR_DEC_MIDDLE] if k == 'middle'
-                                else lrs[LR_DECODERS])
-                            for k in opt_p['dec']},
-                }
-            else:
-                lr_prefix = {'cams': lrs[LR_CAM], 'grids': 0.0,
-                             'dec': lrs[LR_DECODERS]}
-            mask_prefix = {
-                'cams': cam_mask[:, None],
-                'grids': masks if masks is not None else 1.0,
-                'dec': 1.0,
-            }
-            opt_p, opt_state = adam_update(
-                opt_p, grads, opt_state, lr_prefix, mask=mask_prefix)
-            return (opt_p, opt_state), loss
-
-        init = (opt_params,
-                adam_init(opt_params) if opt_state is None else opt_state)
-        (opt_params_out, opt_state_out), losses = jax.lax.scan(
-            body, init, jnp.arange(n_iters))
-        return opt_params_out, opt_state_out, losses
+        return scan_map_iters(grad_fns, nice, n_iters, opt_params,
+                              frozen_dec, masks, lr_tab, stage_idx,
+                              cam_mask, colors, depths, key, opt_state)
 
     return jax.jit(map_step)

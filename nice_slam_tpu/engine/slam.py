@@ -586,11 +586,13 @@ class SlamSystem:
             # growth was costing a fresh ~60 s XLA compile per new size).
             # Each unique frame keeps the reference's total pixel budget:
             # slots x (pixels / window) ~= pixels / real_n per frame
-            # (exact when window % real_n == 0).  Duplicate slots are
-            # pose-frozen; their primary slot carries the BA update.
+            # (exact when window % real_n == 0; any remainder slots go to
+            # the NEWEST frames — current frame first — not the oldest).
+            # Duplicate slots are pose-frozen; the primary slot carries
+            # any BA update.
             n_frames = max(window_size, real_n)
             for k in range(n_frames - real_n):
-                src = k % real_n
+                src = real_n - 1 - (k % real_n)
                 colors.append(colors[src])
                 depths.append(depths[src])
                 cam7s.append(cam7s[src])

@@ -120,11 +120,15 @@ def make_track_frame(*, model: SceneModel, rcfg: RenderConfig,
             jnp.full((3,), tcfg.cam_lr)])
     else:
         lr_vec = jnp.full((7,), tcfg.cam_lr)
-    lr_vec = lr_vec + jnp.float32(salt) * 0.0
 
     loss_grad = jax.value_and_grad(tracking_loss)
 
     def track_frame(params, grids, gt_color, gt_depth, cam7_init, key):
+        # INSIDE the trace, so the salt constant lands in the
+        # pre-optimization HLO (a build-time `lr_vec + salt*0.0` folds
+        # eagerly to the same array and would hash to the same
+        # compilation-cache key — no re-roll at all)
+        lr = lr_vec + jnp.float32(salt) * 0.0
         if model.kind == 'nice' and model.expanded:
             # grids are constant across the frame's scan: corner-expand once
             # so each render pays one gathered row per sample point.  The
@@ -139,7 +143,7 @@ def make_track_frame(*, model: SceneModel, rcfg: RenderConfig,
             k = jax.random.fold_in(key, it)
             loss, g = loss_grad(cam7, params, grids, gt_color, gt_depth, k,
                                 model=model, rcfg=rcfg, tcfg=tcfg, intr=intr)
-            cam7_new, opt_state = adam_update(cam7, g, opt_state, lr_vec)
+            cam7_new, opt_state = adam_update(cam7, g, opt_state, lr)
             # The reference records the *post-step* tensor keyed by the
             # pre-step loss (Tracker.py:264-283).
             better = loss < best_loss

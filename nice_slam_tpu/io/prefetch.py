@@ -22,8 +22,10 @@ class Prefetcher:
 
     def __init__(self, reader: Any, start: int = 0, ahead: int = 2):
         self.reader = reader
-        self.ahead = ahead
-        self._q: queue.Queue = queue.Queue(maxsize=ahead)
+        # Queue(maxsize=0) would be UNBOUNDED (decode the whole dataset
+        # ahead); clamp so prefetch depth is always finite
+        self.ahead = max(1, int(ahead))
+        self._q: queue.Queue = queue.Queue(maxsize=self.ahead)
         self._next_produce = start
         self._next_consume = start
         self._stop = threading.Event()

@@ -179,6 +179,8 @@ class Mesher:
         so keyframe growth causes O(log F) recompiles, with padded frames
         masked out).  The per-(chunk, frame) dispatch formulation paid
         ~25 ms tunnel latency per call — O(chunks x frames) of it."""
+        if len(c2ws) == 0:
+            return np.zeros((len(points),), dtype=bool)
         pts3, n = self._chunked(points, cache)
         f = len(c2ws)
         f_pad = 1

@@ -30,8 +30,7 @@ from jax.sharding import PartitionSpec as P
 
 from nice_slam_tpu.core.cameras import Intrinsics
 from nice_slam_tpu.engine.mapper import (
-    LR_CAM, LR_DEC_MIDDLE, LR_DECODERS, MapperConfig, STAGE_ORDER,
-    build_stage_losses)
+    MapperConfig, build_stage_losses, scan_map_iters)
 from nice_slam_tpu.engine.tracker import TrackerConfig, tracking_loss
 from nice_slam_tpu.render.renderer import RenderConfig, SceneModel, eval_raw
 from nice_slam_tpu.utils.optim import adam_init, adam_update
@@ -73,42 +72,9 @@ def make_sharded_map_step(*, mesh: jax.sharding.Mesh, model: SceneModel,
 
     def map_step(opt_params, frozen_dec, masks, lr_tab, stage_idx, cam_mask,
                  colors, depths, key, opt_state=None):
-        def body(carry, it):
-            opt_p, opt_state = carry
-            k = jax.random.fold_in(key, it)
-            lrs = lr_tab[it]
-            if len(grad_fns) == 1:
-                loss, grads = grad_fns[0](opt_p, frozen_dec, colors,
-                                          depths, k)
-            else:
-                bidx = stage_idx[it] - 1
-                loss, grads = jax.lax.switch(
-                    bidx, grad_fns, opt_p, frozen_dec, colors, depths, k)
-            if nice:
-                lr_prefix = {
-                    'cams': lrs[LR_CAM],
-                    'grids': {name: lrs[1 + STAGE_ORDER.index(name)]
-                              for name in opt_p['grids']},
-                    'dec': {kk: (lrs[LR_DEC_MIDDLE] if kk == 'middle'
-                                 else lrs[LR_DECODERS])
-                            for kk in opt_p['dec']},
-                }
-            else:
-                lr_prefix = {'cams': lrs[LR_CAM], 'grids': 0.0,
-                             'dec': lrs[LR_DECODERS]}
-            mask_prefix = {
-                'cams': cam_mask[:, None],
-                'grids': masks if masks is not None else 1.0,
-                'dec': 1.0,
-            }
-            opt_p, opt_state = adam_update(
-                opt_p, grads, opt_state, lr_prefix, mask=mask_prefix)
-            return (opt_p, opt_state), loss
-
-        init = (opt_params,
-                adam_init(opt_params) if opt_state is None else opt_state)
-        (out, state), losses = jax.lax.scan(body, init, jnp.arange(n_iters))
-        return out, state, losses
+        return scan_map_iters(grad_fns, nice, n_iters, opt_params,
+                              frozen_dec, masks, lr_tab, stage_idx,
+                              cam_mask, colors, depths, key, opt_state)
 
     return jax.jit(map_step)
 

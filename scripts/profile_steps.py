@@ -92,13 +92,13 @@ def main():
         stage_idx = jnp.asarray(stage_schedule(mcfg, n_iters, True))
         cam_mask = jnp.asarray([0.0] + [1.0] * (n_win - 1))
 
-        out, losses = map_fn(opt_params, frozen, None, lr_tab, stage_idx,
+        out, _, losses = map_fn(opt_params, frozen, None, lr_tab, stage_idx,
                              cam_mask, colors, depths, key)
         jax.block_until_ready(losses)
         n = 5
         t0 = time.perf_counter()
         for i in range(n):
-            out, losses = map_fn(opt_params, frozen, None, lr_tab,
+            out, _, losses = map_fn(opt_params, frozen, None, lr_tab,
                                  stage_idx, cam_mask, colors, depths,
                                  jax.random.fold_in(key, 100 + i))
         jax.block_until_ready(losses)

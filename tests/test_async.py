@@ -30,16 +30,36 @@ def test_overlapped_run_tracks_accurately(tmp_path, sync):
 
 
 def test_loose_gate_forces_refresh(tmp_path):
-    """After the loose window passes, the tracker must consume the pending
-    mapping update (pending_refresh cleared)."""
+    """Every non-final mapping update must be consumed by the tracker
+    within the loose window (every_frame + every_frame//2 frames)."""
     from nice_slam_tpu.engine.slam import SlamSystem
 
     cfg = make_test_cfg(n_frames=12, coarse=False)
     cfg['sync_method'] = 'loose'
     cfg['debug'] = {}
     slam = SlamSystem(cfg, nice=True, output=str(tmp_path))
+
+    seen_before, seen_after = [], []   # (tracked frame, pending-from) pairs
+    orig_track = slam.track
+
+    def spying_track(idx, *a, **kw):
+        if slam._pending_refresh is not None:
+            seen_before.append((idx, slam._pending_refresh[0]))
+        r = orig_track(idx, *a, **kw)
+        if slam._pending_refresh is not None:
+            seen_after.append((idx, slam._pending_refresh[0]))
+        return r
+
+    slam.track = spying_track
     slam.run()
-    # every mapping is eventually consumed or still pending from the final
-    # frame's mapping call only
+
+    # the async path must actually have been exercised at least once ...
+    assert seen_before, 'no mapping update was ever dispatched async'
+    # ... and after each track() call no pending update may have outlived
+    # the loose window (track consumes it — forced — once the gate passes)
+    gate = slam.mcfg.every_frame + slam.mcfg.every_frame // 2
+    over = [(i, p) for i, p in seen_after if i - p > gate]
+    assert not over, f'pending mapping outlived the loose gate: {over}'
+    # nothing dangles at the end except possibly the final frame's mapping
     if slam._pending_refresh is not None:
         assert slam._pending_refresh[0] == 11
