@@ -292,6 +292,9 @@ class SlamSystem:
                 scale=float(cfg.get('scale', 1.0)),
             ), self.model, self.intr, rcfg=self.rcfg)
         self.eval_rec = bool(cfg.get('meshing', {}).get('eval_rec', False))
+        self.mesh_async = bool(cfg.get('meshing', {}).get('async', True))
+        self._mesh_pool = None
+        self._mesh_future = None
         self.save_selected_keyframes = bool(
             cfg['mapping'].get('save_selected_keyframes_info', False))
         from nice_slam_tpu.utils.visualizer import Visualizer
@@ -766,16 +769,45 @@ class SlamSystem:
         return self.mapping_idx + 1
 
     def mesh_now(self, idx: int, final: bool = False) -> str | None:
+        """Extract a mesh snapshot.  Periodic meshes run on a background
+        thread (the reference meshes inside the mapper process, so its
+        tracker never waits either, Mapper.py:781-785); the host-side work
+        (marching tetrahedra, component filtering, PLY) overlaps the SLAM
+        loop and the device work interleaves on the device queue.  Final
+        meshes block.  One mesh in flight at a time."""
         if self.mesher is None:
             return None
-        t0 = time.perf_counter()
+        self.join_mesh()
         name = 'final_mesh.ply' if final else f'{idx:05d}_mesh.ply'
         path = os.path.join(self.output, 'mesh', name)
-        self.mesher.extract(
-            path, self.full_dec_params(), self.grids, self.keyframes,
-            self.estimate_c2w, idx)
-        self.timers.mesh_s += time.perf_counter() - t0
+        # snapshot mutable state: keyframe poses (BA rewrites in place) and
+        # the pose list; grids/params are immutable device arrays
+        kfs = KeyframeStore([Keyframe(kf.idx, kf.color, kf.depth,
+                                      kf.est_c2w.copy(), kf.gt_c2w)
+                             for kf in self.keyframes.frames])
+        est = self.estimate_c2w.copy()
+        params, grids = self.full_dec_params(), self.grids
+
+        def work():
+            t0 = time.perf_counter()
+            self.mesher.extract(path, params, grids, kfs, est, idx)
+            self.timers.mesh_s += time.perf_counter() - t0
+
+        if final or not self.mesh_async:
+            work()
+        else:
+            import concurrent.futures
+            if self._mesh_pool is None:
+                self._mesh_pool = \
+                    concurrent.futures.ThreadPoolExecutor(max_workers=1)
+            self._mesh_future = self._mesh_pool.submit(work)
         return path
+
+    def join_mesh(self) -> None:
+        """Wait for any in-flight background mesh extraction."""
+        if self._mesh_future is not None:
+            self._mesh_future.result()
+            self._mesh_future = None
 
     # ------------------------------------------------------------------
     # main loop
@@ -872,6 +904,7 @@ class SlamSystem:
             for idx in range(start, self.n_img):
                 self.step(idx)
         finally:
+            self.join_mesh()
             self.frame_reader.close()
             self.frame_reader = reader
             if self.profile_dir:

@@ -52,7 +52,8 @@ def test_mesh_extraction_from_slam(tmp_path):
     cfg['meshing']['resolution'] = 48
     slam = SlamSystem(cfg, nice=True, output=str(tmp_path))
     slam.step(0)
-    path = slam.mesh_now(0)
+    path = slam.mesh_now(0)   # async by default; join before reading
+    slam.join_mesh()
     assert path is not None
     verts, tris = load_ply(path)
     assert len(verts) > 200 and len(tris) > 200
@@ -61,3 +62,24 @@ def test_mesh_extraction_from_slam(tmp_path):
     assert verts[:, 2].min() > -1.4
     back = verts[np.abs(verts[:, 2] + 1.0) < 0.15]
     assert len(back) > 50
+
+
+def test_async_meshing_produces_all_meshes(tmp_path):
+    """Background meshing: the run loop must not lose or corrupt meshes;
+    all cadence meshes + the final mesh exist after run() (which joins)."""
+    import os
+    from nice_slam_tpu.engine.slam import SlamSystem
+    from nice_slam_tpu.mesh.mesher import load_ply
+    cfg = make_test_cfg(n_frames=9)
+    cfg['meshing']['resolution'] = 48
+    cfg['mapping']['mesh_freq'] = 4
+    slam = SlamSystem(cfg, nice=True, output=str(tmp_path))
+    assert slam.mesh_async
+    slam.run()
+    files = sorted(os.listdir(os.path.join(str(tmp_path), 'mesh')))
+    assert 'final_mesh.ply' in files
+    assert any(f.endswith('_mesh.ply') and not f.startswith('final')
+               for f in files), files
+    for f in files:
+        verts, tris = load_ply(os.path.join(str(tmp_path), 'mesh', f))
+        assert len(verts) > 0
