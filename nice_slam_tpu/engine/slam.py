@@ -603,7 +603,7 @@ class SlamSystem:
             if not ba:
                 cam_mask = [0.0] * n_frames
 
-            pix_per_frame = mcfg.pixels // n_frames
+            pix_per_frame = max(mcfg.pixels // n_frames, 1)
             masks = (self._frustum_masks(cur_c2w, depth)
                      if frustum_on else None)
 
