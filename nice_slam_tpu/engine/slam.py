@@ -552,6 +552,19 @@ class SlamSystem:
         chunk_iters = max(mcfg.iters // (1 if self.nice else 3), 1)
         chunk_iters = min(chunk_iters, n_iters)
 
+        # in-iteration render panels (Mapper.py:527, vis_freq x
+        # vis_inside_freq): on vis frames, chunk at inside_freq granularity
+        # so the panels render mid-optimization like the reference
+        vis_inside = int(self.cfg['mapping'].get('vis_inside_freq', 0))
+        vis_freq = int(self.cfg['mapping'].get('vis_freq', 0))
+        do_inside_vis = (
+            self.vis_enabled and self.map_vis is not None and not coarse
+            and vis_freq > 0 and vis_inside > 0 and idx % vis_freq == 0
+            and (idx > 0 or not self.cfg['mapping'].get(
+                'no_vis_on_first_frame', True)))
+        if do_inside_vis:
+            chunk_iters = min(chunk_iters, max(vis_inside, 1))
+
         mcfg_eff = mcfg._replace(middle_iter_ratio=middle_ratio,
                                  fine_iter_ratio=fine_ratio,
                                  fix_color=fix_color)
@@ -660,6 +673,12 @@ class SlamSystem:
             depths_d = jnp.stack(depths)
             opt_state, loss_chunks = init_fn(opt_params), []
             for c in range(n_chunks):
+                if do_inside_vis and (c * chunk_iters) % vis_inside == 0:
+                    self.map_vis.vis(
+                        idx, c * chunk_iters, depth_np, color_np, cur_c2w,
+                        {**frozen_dec, **opt_params['dec']} if self.nice
+                        else opt_params['dec'].get('imap'),
+                        opt_params['grids'] if self.nice else None)
                 sl = slice(c * chunk_iters, (c + 1) * chunk_iters)
                 opt_params, opt_state, losses_c = map_fn(
                     opt_params, frozen_dec, masks,
