@@ -39,8 +39,8 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-# Per-plane VMEM guard: cur + nxt + masks + 8C output, f32.
-_VMEM_LIMIT_BYTES = 10 * 1024 * 1024
+# VMEM budget for the plane-streaming kernels (see _plane_bytes).
+_VMEM_LIMIT_BYTES = 15 * 1024 * 1024
 
 
 def _plane_masks(ny: int, nz: int) -> np.ndarray:
@@ -139,12 +139,18 @@ def _fold_kernel(nz: int, c: int, nx: int, cur_ref, prv_ref, mask_ref,
 
 
 def _plane_bytes(ny: int, nz: int, c: int) -> int:
+    """Estimated Mosaic VMEM stack peak for the FOLD kernel (the larger of
+    the two): measured ~6.7x the [P, 8C] plane size at (P=1444, C=64) —
+    the 19.72 MB scoped-vmem OOM at the TUM fr1 grid shape — vs ~6.7x
+    14.3 MB fitting at the Replica shape (P=1040).  Model it as 7 plane
+    widths of 8C."""
     p = ny * nz
-    return 4 * p * (c * 2 + 8 * c + 8)
+    return 4 * p * 7 * (8 * c)
 
 
 def pallas_expand_ok(shape: tuple[int, int, int], c: int) -> bool:
-    """Whether the plane-streaming kernels fit comfortably in VMEM."""
+    """Whether the plane-streaming kernels fit in VMEM (16 MB/core);
+    larger planes fall back to the XLA slice+concat formulation."""
     nx, ny, nz = shape
     return _plane_bytes(ny, nz, c) <= _VMEM_LIMIT_BYTES
 
