@@ -455,8 +455,14 @@ class SlamSystem:
             intr=self.intr, salt=s)
         if jax.default_backend() != 'tpu':
             return build(0)
+        # "fast binary" threshold scales with the tracking budget: 25 ms at
+        # the Replica budget (200 px x 10 iters); a Demo-budget (1000 x 30)
+        # good binary legitimately needs ~110 ms/frame, and an absolute
+        # threshold would re-roll forever without being able to accept it
+        budget = self.tcfg.pixels * self.tcfg.iters
+        default_ms = 25.0 * max(1.0, budget / 2000.0) ** 0.85
         threshold_s = float(self.cfg.get('tracking', {})
-                            .get('autotune_ms', 25.0)) / 1e3
+                            .get('autotune_ms', default_ms)) / 1e3
         best_fn, best_t = None, float('inf')
         for s in range(int(self.cfg.get('tracking', {})
                            .get('autotune_candidates', 3))):
