@@ -785,7 +785,12 @@ class SlamSystem:
         self.estimate_c2w = np.asarray(state['estimate_c2w'])
         self.gt_c2w = np.asarray(state['gt_c2w'])
         self.keyframes = KeyframeStore(
-            [Keyframe(**kf) for kf in state['keyframes']])
+            [Keyframe(idx=int(kf['idx']),
+                      color=np.asarray(kf['color']),
+                      depth=np.asarray(kf['depth']),
+                      est_c2w=np.asarray(kf['est_c2w']),
+                      gt_c2w=np.asarray(kf['gt_c2w']))
+             for kf in state['keyframes']])
         for kf_idx in state.get('coarse_keyframe_indices', []):
             for kf in self.keyframes.frames:
                 if kf.idx == kf_idx:

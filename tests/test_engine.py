@@ -109,6 +109,13 @@ def test_checkpoint_roundtrip(tmp_path):
     np.testing.assert_allclose(
         np.asarray(slam2.grids['middle']), np.asarray(slam.grids['middle']),
         atol=1e-6)
+    # the restored system must actually CONTINUE: track+map the remaining
+    # frames with bounded error (the reference cannot resume at all)
+    slam2.run(start=nxt)
+    assert slam2.timers.frames_tracked == 4   # frames 1..4
+    t_err = np.linalg.norm(
+        slam2.estimate_c2w[:, :3, 3] - slam2.gt_c2w[:, :3, 3], axis=-1)
+    assert np.max(t_err) < 0.02, t_err
 
 
 def test_imap_end_to_end_run():
