@@ -927,9 +927,13 @@ class SlamSystem:
             import jax.profiler
             jax.profiler.start_trace(self.profile_dir)
         from nice_slam_tpu.io.prefetch import Prefetcher
+        workers = int(self.cfg.get('data', {}).get(
+            'prefetch_workers',
+            getattr(self.frame_reader, 'prefetch_workers', 1)))
         reader, self.frame_reader = self.frame_reader, Prefetcher(
             self.frame_reader, start=start,
-            ahead=int(self.cfg.get('data', {}).get('prefetch', 2)))
+            ahead=int(self.cfg.get('data', {}).get('prefetch', 2)),
+            workers=workers)
         try:
             for idx in range(start, self.n_img):
                 self.step(idx)

@@ -278,6 +278,10 @@ class SyntheticBox(BaseDataset):
     quality is measurable without any downloaded data.
     """
 
+    # analytic rendering is CPU-heavy (~0.7 s/frame at 680x1200) and
+    # releases the GIL; let the Prefetcher parallelize it
+    prefetch_workers = 4
+
     def __init__(self, cfg, input_folder, scale):
         super().__init__(cfg, input_folder, scale)
         syn = cfg.get('synthetic', {})
@@ -334,17 +338,31 @@ def default_obstacles(box):
             np.stack(rel([0.40, 0.55, 0.15], [0.60, 0.90, 0.40]), axis=1)]
 
 
+_DIRS_CACHE: dict = {}
+
+
+def _camera_dirs(h, w, fx, fy, cx, cy) -> np.ndarray:
+    """Cached camera-frame ray directions [h, w, 3] (f32)."""
+    key = (h, w, fx, fy, cx, cy)
+    if key not in _DIRS_CACHE:
+        jj, ii = np.meshgrid(np.arange(h, dtype=np.float32),
+                             np.arange(w, dtype=np.float32), indexing='ij')
+        _DIRS_CACHE[key] = np.stack(
+            [(ii - cx) / fx, -(jj - cy) / fy, -np.ones_like(ii)], axis=-1)
+    return _DIRS_CACHE[key]
+
+
 def render_box_frame(c2w, h, w, fx, fy, cx, cy, box, obstacles=None):
     """Exact RGB-D of the inside of a box room with interior box obstacles
-    (camera along -z, y up)."""
+    (camera along -z, y up).  f32 with cached camera-frame directions —
+    generation is the wall-clock floor of every synthetic benchmark run."""
     if obstacles is None:
         obstacles = default_obstacles(box)
-    jj, ii = np.meshgrid(np.arange(h, dtype=np.float64),
-                         np.arange(w, dtype=np.float64), indexing='ij')
-    dirs = np.stack([(ii - cx) / fx, -(jj - cy) / fy, -np.ones_like(ii)],
-                    axis=-1)
-    rays_d = dirs @ c2w[:3, :3].T
-    rays_o = c2w[:3, 3]
+    box = np.asarray(box, dtype=np.float32)
+    obstacles = [np.asarray(ob, dtype=np.float32) for ob in obstacles]
+    dirs = _camera_dirs(h, w, fx, fy, cx, cy)
+    rays_d = dirs @ c2w[:3, :3].T.astype(np.float32)
+    rays_o = c2w[:3, 3].astype(np.float32)
     with np.errstate(divide='ignore', invalid='ignore'):
         t = (box[None, None, :, :] - rays_o[None, None, :, None]) / \
             rays_d[..., :, None]                       # [h, w, 3, 2]
