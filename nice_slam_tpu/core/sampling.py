@@ -104,7 +104,7 @@ def surface_z_vals(n_surface: int, gt_depth: jnp.ndarray) -> jnp.ndarray:
 
 def near_far_from_depth(rays_o: jnp.ndarray, rays_d: jnp.ndarray,
                         bound: jnp.ndarray, gt_depth: jnp.ndarray | None,
-                        grad_z: bool = True):
+                        grad_z: bool = False):
     """near/far per ray following Renderer.py:125-159.
 
     With sensor depth: near = 0.01*d per ray, far = clamp(bbox exit + 0.01,
@@ -112,12 +112,12 @@ def near_far_from_depth(rays_o: jnp.ndarray, rays_d: jnp.ndarray,
 
     grad_z: the reference computes the bbox exit on DETACHED rays
     (Renderer.py:141-146), so no pose gradient flows through the z sampling
-    locations there — only through the ray origin/direction.  Keeping the
-    term (default) is an exact extra gradient: moving the camera moves the
-    sample depths, and the pose optimization measurably benefits (synthetic
-    fixture, 3 seeds: max per-frame error 0.7-1.2 cm with the term vs
-    1.1-2.0 cm detached).  Set rendering.grad_z: false for bit-level
-    reference gradient semantics.
+    locations there — only through the ray origin/direction.  The DEFAULT
+    (False) reproduces those reference gradient semantics exactly.  Setting
+    rendering.grad_z: true opts into an extra exact gradient term: moving
+    the camera moves the sample depths, and pose optimization measurably
+    benefits (synthetic fixture, 3 seeds: max per-frame error 0.7-1.2 cm
+    with the term vs 1.1-2.0 cm detached).
 
     Returns:
       near: [N, 1], far: [N, 1].
@@ -160,7 +160,11 @@ def sample_pdf(key: jax.Array, bins: jnp.ndarray, weights: jnp.ndarray,
     else:
         u = jax.random.uniform(key, cdf.shape[:-1] + (n_samples,))
 
-    inds = jax.vmap(lambda c, uu: jnp.searchsorted(c, uu, side='right'))(cdf, u)
+    # searchsorted(side='right') = count of cdf entries <= u.  The bin count
+    # is tiny (n_samples+n_surface+1 lanes), so an explicit comparison count
+    # vectorizes on the VPU instead of vmapping a per-ray binary search
+    # (measured 17 ms -> ~2 ms per iMAP mapping iteration at 5000 rays).
+    inds = jnp.sum(cdf[..., :, None] <= u[..., None, :], axis=-2)
     below = jnp.maximum(0, inds - 1)
     above = jnp.minimum(cdf.shape[-1] - 1, inds)
 

@@ -261,6 +261,9 @@ class SlamSystem:
         # cadences (mapping.*, NICE_SLAM wiring)
         m = cfg['mapping']
         self.ckpt_freq = int(m.get('ckpt_freq', 500))
+        # ckpt.compress_images: false -> bit-faithful resume (see utils/ckpt)
+        self.ckpt_compress = bool(
+            cfg.get('ckpt', {}).get('compress_images', True))
         self.mesh_freq = int(m.get('mesh_freq', 50))
         self.no_mesh_first = bool(m.get('no_mesh_on_first_frame', True))
         self.no_log_first = bool(m.get('no_log_on_first_frame', True))
@@ -763,11 +766,17 @@ class SlamSystem:
             'selected_keyframes': (self.selected_keyframes
                                    if self.save_selected_keyframes else None),
             'mapping_idx': self.mapping_idx,
+            # PRNG streams: restoring them makes the resumed run replay the
+            # uninterrupted run's exact random draws (resume contract,
+            # utils/ckpt.py).
+            'key': np.asarray(self.key),
+            'np_rng_state': self.np_rng.bit_generator.state,
         }
 
     def save_ckpt(self, idx: int) -> str:
         path = os.path.join(self.output, 'ckpts', f'{idx:05d}.ckpt')
-        save_checkpoint(path, self.checkpoint_state())
+        save_checkpoint(path, self.checkpoint_state(),
+                        compress_images=self.ckpt_compress)
         if self.verbose:
             print(f'INFO: checkpoint saved to {path}')
         return path
@@ -796,6 +805,13 @@ class SlamSystem:
                 if kf.idx == kf_idx:
                     self.coarse_keyframes.append(kf)
         self.mapping_idx = int(state['mapping_idx'])
+        if state.get('key') is not None:
+            self.key = jnp.asarray(state['key'])
+        if state.get('np_rng_state') is not None:
+            self.np_rng = np.random.default_rng()
+            self.np_rng.bit_generator.state = state['np_rng_state']
+        if state.get('selected_keyframes'):
+            self.selected_keyframes = dict(state['selected_keyframes'])
         return self.mapping_idx + 1
 
     def mesh_now(self, idx: int, final: bool = False) -> str | None:

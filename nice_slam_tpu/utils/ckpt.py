@@ -7,6 +7,15 @@ true resume is impossible there.  Here checkpoints are symmetric:
 `save_checkpoint`/`load_checkpoint` round-trip the full SLAM state including
 the keyframe store (images optionally float16-compressed), so a preempted
 run restarts from the last mapped frame.
+
+Resume contract: a checkpoint carries the PRNG streams (JAX key + numpy
+bit-generator state) and all schedule counters, so a resumed run replays
+the exact iteration schedule and random draws of the uninterrupted run.
+With `ckpt.compress_images: false` the restore is bit-faithful — the
+resumed run's subsequent poses/grids are identical to never having
+stopped (tests/test_engine.py::test_resume_bit_faithful).  The default
+(true) rounds keyframe imagery through float16 (~1e-3 relative) to halve
+checkpoint size; everything else stays exact.
 """
 
 from __future__ import annotations
@@ -20,7 +29,10 @@ import numpy as np
 
 
 def _to_numpy(tree: Any) -> Any:
-    return jax.tree.map(lambda x: np.asarray(x), tree)
+    # Only device arrays need conversion; leave host leaves (ints, strings,
+    # rng-state dict entries, numpy arrays) untouched for pickle.
+    return jax.tree.map(
+        lambda x: np.asarray(x) if isinstance(x, jax.Array) else x, tree)
 
 
 def save_checkpoint(path: str, state: dict, *, compress_images: bool = True

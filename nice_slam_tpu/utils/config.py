@@ -110,7 +110,7 @@ def render_config_from_cfg(cfg: dict) -> RenderConfig:
         lindisp=bool(r['lindisp']),
         perturb=float(r['perturb']),
         occupancy=bool(cfg['occupancy']),
-        grad_z=bool(r.get('grad_z', True)),
+        grad_z=bool(r.get('grad_z', False)),
     )
 
 

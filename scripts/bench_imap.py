@@ -1,0 +1,122 @@
+"""iMAP* mapping/tracking throughput benchmark (Replica iMAP budget).
+
+Measures the compiled iMAP mapping step (5000 px window, 32+12-importance
+samples, density compositing, free-space regulation, BA) and the tracking
+step (5000 px x 50 iters) on the current default device.  This is the
+budget where the reference spends the most per-point compute
+(/root/reference/configs/Replica/replica_imap.yaml:12-22; 300 iters x 3
+outer per mapped frame, Mapper.py:726).
+
+Usage: python scripts/bench_imap.py [n_map_iters]
+"""
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+N_FRAMES = 5          # mapping_window_size
+MAP_PIXELS = 5000     # split across the window
+TRACK_PIXELS = 5000
+TRACK_ITERS = 50
+
+
+def main():
+    n_map_iters = int(sys.argv[1]) if len(sys.argv) > 1 else 100
+
+    import jax
+    import jax.numpy as jnp
+
+    from nice_slam_tpu.utils.compilation_cache import enable
+    enable()
+    jax.config.update('jax_default_matmul_precision', 'float32')
+
+    from nice_slam_tpu.core.cameras import Intrinsics, tensor_from_c2w
+    from nice_slam_tpu.engine import mapper as M
+    from nice_slam_tpu.engine import tracker as T
+    from nice_slam_tpu.models.decoders import DecoderConfig, init_imap_decoder
+    from nice_slam_tpu.render.renderer import RenderConfig, SceneModel
+
+    # Replica cam, scale 0.1 (configs/imap.yaml)
+    scale = 0.1
+    intr = Intrinsics(H=680, W=1200, fx=600.0, fy=600.0, cx=599.5, cy=339.5)
+    bound = jnp.asarray([[-1.3, 7.4], [-3.1, 3.2], [-1.7, 2.3]]) * scale
+    dcfg = DecoderConfig(pos_embedding_method='nerf')
+    model = SceneModel(kind='imap', decoder=dcfg, bound=bound)
+    rcfg = RenderConfig(n_samples=32, n_surface=0, n_importance=12,
+                        occupancy=False, perturb=0.0)
+    mcfg = M.MapperConfig(pixels=MAP_PIXELS, iters=n_map_iters, ba=True,
+                          window_size=N_FRAMES, keyframe_selection='global',
+                          w_color_loss=0.1)
+
+    key = jax.random.PRNGKey(0)
+    params = init_imap_decoder(key, dcfg)
+    pix_per_frame = MAP_PIXELS // N_FRAMES
+
+    step = M.make_map_step(model=model, rcfg=rcfg, mcfg=mcfg, intr=intr,
+                           n_frames=N_FRAMES, n_iters=n_map_iters,
+                           pix_per_frame=pix_per_frame)
+
+    rng = np.random.default_rng(0)
+    colors = jnp.asarray(rng.random((N_FRAMES, intr.H, intr.W, 3)),
+                         dtype=jnp.float32)
+    depths = jnp.asarray(
+        1.0 + rng.random((N_FRAMES, intr.H, intr.W)) * 2.0,
+        dtype=jnp.float32) * scale
+    c2w = jnp.eye(4)[None].repeat(N_FRAMES, 0)
+    cams = jax.vmap(tensor_from_c2w)(c2w)
+    opt_params = {'cams': cams, 'grids': {}, 'dec': {'imap': params}}
+    lr_tab = jnp.asarray(M.lr_table(mcfg, n_map_iters, 1.0, nice=False,
+                                    ba_active=True))
+    stage_idx = jnp.asarray(M.stage_schedule(mcfg, n_map_iters, nice=False))
+    cam_mask = jnp.ones((N_FRAMES,)).at[0].set(0.0)
+
+    def run_map():
+        out, _, losses = step(opt_params, {}, None, lr_tab, stage_idx,
+                              cam_mask, colors, depths, key)
+        jax.block_until_ready(losses)
+        return losses
+
+    t0 = time.perf_counter()
+    run_map()
+    compile_s = time.perf_counter() - t0
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        run_map()
+        times.append(time.perf_counter() - t0)
+    map_s = min(times)
+    print(f"iMAP mapping: {n_map_iters} iters in {map_s:.3f} s "
+          f"= {n_map_iters / map_s:.1f} iters/s  (compile {compile_s:.0f} s)")
+
+    # tracking
+    tcfg = T.TrackerConfig(pixels=TRACK_PIXELS, iters=TRACK_ITERS,
+                           cam_lr=0.001, w_color_loss=0.5, var_floor=1e-10,
+                           handle_dynamic=False, separate_lr=False,
+                           ignore_edge_w=20, ignore_edge_h=20)
+    track = T.make_track_frame(model=model, rcfg=rcfg, tcfg=tcfg, intr=intr)
+    cam7 = tensor_from_c2w(jnp.eye(4))
+    gt_color = colors[0]
+    gt_depth = depths[0]
+
+    def run_track():
+        out = track(params, None, gt_color, gt_depth, cam7, key)
+        jax.block_until_ready(out[0])
+
+    t0 = time.perf_counter()
+    run_track()
+    compile_s = time.perf_counter() - t0
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        run_track()
+        times.append(time.perf_counter() - t0)
+    track_s = min(times)
+    print(f"iMAP tracking: {TRACK_ITERS} iters x {TRACK_PIXELS} px in "
+          f"{track_s:.3f} s/frame  (compile {compile_s:.0f} s)")
+
+
+if __name__ == '__main__':
+    main()

@@ -118,6 +118,39 @@ def test_checkpoint_roundtrip(tmp_path):
     assert np.max(t_err) < 0.02, t_err
 
 
+def test_resume_bit_faithful(tmp_path):
+    """A resumed run must be bit-identical to never having stopped: the
+    checkpoint carries the PRNG streams (JAX key + numpy bit generator) and
+    all schedule counters, and with compress_images=False the keyframe
+    imagery is exact (resume contract, utils/ckpt.py)."""
+    from nice_slam_tpu.engine.slam import SlamSystem
+    from nice_slam_tpu.utils.ckpt import load_checkpoint, save_checkpoint
+    cfg = make_test_cfg(n_frames=9)
+
+    ref = SlamSystem(cfg, nice=True, output=str(tmp_path / 'a'))
+    ref.run()
+
+    part = SlamSystem(cfg, nice=True, output=str(tmp_path / 'b'))
+    for i in range(5):
+        part.step(i)
+    path = str(tmp_path / 'state.ckpt')
+    save_checkpoint(path, part.checkpoint_state(), compress_images=False)
+
+    res = SlamSystem(cfg, nice=True, output=str(tmp_path / 'c'))
+    nxt = res.restore(load_checkpoint(path))
+    assert nxt == 5
+    res.run(start=nxt)
+
+    assert np.array_equal(res.estimate_c2w, ref.estimate_c2w), (
+        np.abs(res.estimate_c2w - ref.estimate_c2w).max())
+    for name in ref.grids:
+        assert np.array_equal(np.asarray(res.grids[name]),
+                              np.asarray(ref.grids[name])), name
+    # and the PRNG streams ended in the same state
+    assert np.array_equal(np.asarray(res.key), np.asarray(ref.key))
+    assert res.np_rng.bit_generator.state == ref.np_rng.bit_generator.state
+
+
 def test_imap_end_to_end_run():
     """iMAP* mode (single MLP, density rendering, N_importance resampling,
     StepLR decay, free-space regulation) over a few frames."""
