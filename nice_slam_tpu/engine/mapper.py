@@ -125,11 +125,14 @@ def lr_table(mcfg: MapperConfig, n_iters: int, lr_factor: float, nice: bool,
     return table
 
 
-def _window_rays(cam7s, colors, depths, key, n_frames, pix_per_frame,
+def _window_rays(cam7s, colors, depths, frame_keys, n_frames, pix_per_frame,
                  intr: Intrinsics):
     """Sample pixels from every window frame and build rays.
 
     The mapper samples the full image (no edge crop, Mapper.py:567-568).
+    `frame_keys` is a [n_frames] key array — one independent stream per
+    frame, so a keyframe-sharded step drawing frames f0..f0+k reproduces
+    the replicated step's draws for those frames exactly.
     Returns flattened [F*P] rays and ground truth.
     """
     def per_frame(cam7, color, depth, k):
@@ -138,8 +141,7 @@ def _window_rays(cam7s, colors, depths, key, n_frames, pix_per_frame,
         o, d = rays_from_uv(i, j, c2w, intr)
         return o, d, gather_pixels(depth, i, j), gather_pixels(color, i, j)
 
-    keys = jax.random.split(key, n_frames)
-    o, d, dgt, cgt = jax.vmap(per_frame)(cam7s, colors, depths, keys)
+    o, d, dgt, cgt = jax.vmap(per_frame)(cam7s, colors, depths, frame_keys)
     flat = lambda x: x.reshape((-1,) + x.shape[2:])
     return flat(o), flat(d), flat(dgt), flat(cgt)
 
@@ -147,15 +149,26 @@ def _window_rays(cam7s, colors, depths, key, n_frames, pix_per_frame,
 
 def build_stage_losses(*, model: SceneModel, rcfg: RenderConfig,
                        mcfg: MapperConfig, intr: Intrinsics, n_frames: int,
-                       pix_per_frame: int):
-    """Per-stage mapping loss functions (shared by the single-chip and
-    ray-sharded step builders).
+                       pix_per_frame: int, kf_axis: str | None = None,
+                       n_frames_global: int | None = None):
+    """Per-stage mapping loss functions (shared by the single-chip,
+    ray-sharded and keyframe-sharded step builders).
 
     Returns (branch_stages, [loss_fn...]) where each loss_fn has signature
     (opt_params, frozen_dec, colors, depths, key) -> scalar loss and is the
     stage loss of Mapper.py:598-621 over `n_frames * pix_per_frame` rays.
+
+    kf_axis: when set, the loss runs INSIDE a shard_map over that mesh axis
+    with the window's frames split across devices (the multi-host keyframe
+    sharding of SURVEY §2.3/§5.8): colors/depths arrive with the local
+    [n_frames, ...] frame slice, `opt_params['cams']` stays replicated
+    [n_frames_global, 7], and this device's slice plus its per-frame PRNG
+    streams are selected by `axis_index`.  The local loss is this device's
+    frames' term of the global sum — callers psum loss and grads.
     """
     nice = model.kind == 'nice'
+    if kf_axis is not None:
+        assert n_frames_global is not None, 'kf_axis needs n_frames_global'
 
     def full_params(opt_dec, frozen_dec):
         if not nice:
@@ -182,8 +195,20 @@ def build_stage_losses(*, model: SceneModel, rcfg: RenderConfig,
                 # so the grid-grad scatter is one wide row per point
                 from nice_slam_tpu.models.grids import prepare_grids
                 grids = prepare_grids(grids, model.grid_shapes, stage=stage)
+            cams = opt_params['cams']
+            if kf_axis is None:
+                frame_keys = jax.random.split(key, n_frames)
+            else:
+                # this device's frame slice of the replicated cams and of
+                # the global per-frame key streams (bit-identical draws to
+                # the replicated step); the dynamic_slice VJP scatters the
+                # local cam grads back into the [F_global, 7] block
+                f0 = jax.lax.axis_index(kf_axis) * n_frames
+                cams = jax.lax.dynamic_slice_in_dim(cams, f0, n_frames)
+                frame_keys = jax.lax.dynamic_slice_in_dim(
+                    jax.random.split(key, n_frames_global), f0, n_frames)
             o, d, dgt, cgt = _window_rays(
-                opt_params['cams'], colors, depths, key,
+                cams, colors, depths, frame_keys,
                 n_frames, pix_per_frame, intr)
             if nice:
                 # bbox prefilter as a weight mask (Mapper.py:580-596)
@@ -203,9 +228,13 @@ def build_stage_losses(*, model: SceneModel, rcfg: RenderConfig,
                                           jnp.abs(cgt - color), 0.0))
                 loss = loss + mcfg.w_color_loss * col_l
             if not rcfg.occupancy:  # iMAP free-space regulation (:616-621)
+                k_reg = jax.random.fold_in(key, 7)
+                if kf_axis is not None:  # independent stream per shard
+                    k_reg = jax.random.fold_in(
+                        k_reg, jax.lax.axis_index(kf_axis))
                 sigma = regulation_sigma(
                     params, grids, o, d, d_render, model=model, rcfg=rcfg,
-                    key=jax.random.fold_in(key, 7), stage=stage)
+                    key=k_reg, stage=stage)
                 loss = loss + 0.0005 * jnp.sum(jnp.abs(sigma))
             return loss
 

@@ -26,6 +26,7 @@ ray-mesh sharded); hull/MT/culling run on host (native C++ / scipy).
 
 from __future__ import annotations
 
+import os
 from functools import partial
 from typing import Any, NamedTuple
 
@@ -61,6 +62,12 @@ class Mesher:
                  intr: Intrinsics, *, rcfg=None, sharded_mesh=None):
         from nice_slam_tpu.render.renderer import RenderConfig, render_rays
         self.cfg = mcfg
+        # eval-only consumer: take the fused Pallas decoder path (measured
+        # on the 256^3 lattice, see BASELINE.md; NSTPU_NO_FUSED_MLP=1
+        # forces the XLA path)
+        if model.kind == 'nice' and os.environ.get(
+                'NSTPU_NO_FUSED_MLP') != '1':
+            model = model._replace(fused_eval=True)
         self.model = model
         self.intr = intr
         self.sharded_mesh = sharded_mesh

@@ -128,6 +128,25 @@ def _embed(params: Params, cfg: DecoderConfig, p: jnp.ndarray, color: bool
     raise ValueError(cfg.pos_embedding_method)
 
 
+def mlp_dispatch(params: Params, cfg: DecoderConfig, p: jnp.ndarray,
+                 c_feat: jnp.ndarray | None, *, color: bool,
+                 skips: tuple[int, ...] | None = None,
+                 fused: bool = False) -> jnp.ndarray:
+    """mlp_apply, or the fused Pallas kernel when requested and applicable.
+
+    The fused kernel (ops/pallas/fused_mlp.py) keeps the whole layer stack
+    in VMEM — profitable on eval-heavy paths (mesher lattice query,
+    full-frame renders).  It implements the fourier-embedding MLP with
+    grid features, so other configurations fall through to XLA.
+    """
+    if (fused and cfg.pos_embedding_method == 'fourier'
+            and c_feat is not None and jax.default_backend() == 'tpu'):
+        from nice_slam_tpu.ops.pallas.fused_mlp import fused_mlp
+        return fused_mlp(params, cfg, p, c_feat, color,
+                         cfg.skips if skips is None else skips)
+    return mlp_apply(params, cfg, p, c_feat, color=color, skips=skips)
+
+
 def mlp_apply(params: Params, cfg: DecoderConfig, p: jnp.ndarray,
               c_feat: jnp.ndarray | None, *, color: bool,
               skips: tuple[int, ...] | None = None) -> jnp.ndarray:
@@ -200,7 +219,8 @@ def init_nice_decoders(key: jax.Array, cfg: DecoderConfig) -> Params:
 def nice_eval(params: Params, grids: dict[str, jnp.ndarray], p: jnp.ndarray,
               stage: str, cfg: DecoderConfig, bound: jnp.ndarray,
               coarse_bound: jnp.ndarray | None = None,
-              grid_shapes: tuple | None = None) -> jnp.ndarray:
+              grid_shapes: tuple | None = None,
+              fused: bool = False) -> jnp.ndarray:
     """Evaluate the NICE model at points for a given stage (decoder.py:336-370).
 
     Args:
@@ -237,7 +257,8 @@ def nice_eval(params: Params, grids: dict[str, jnp.ndarray], p: jnp.ndarray,
             [jnp.zeros(p.shape[:-1] + (3,)), occ[..., None]], axis=-1)
 
     c_mid = feat_of('middle', bound)
-    middle_occ = mlp_apply(params['middle'], cfg, p, c_mid, color=False)
+    middle_occ = mlp_dispatch(params['middle'], cfg, p, c_mid, color=False,
+                              fused=fused)
     if stage == 'middle':
         return jnp.concatenate(
             [jnp.zeros(p.shape[:-1] + (3,)), middle_occ[..., None]], axis=-1)
@@ -246,9 +267,9 @@ def nice_eval(params: Params, grids: dict[str, jnp.ndarray], p: jnp.ndarray,
     # (decoder.py:196-202)
     c_fine = feat_of('fine', bound)
     c_mid_sg = jax.lax.stop_gradient(c_mid)
-    fine_occ = mlp_apply(params['fine'], cfg, p,
-                         jnp.concatenate([c_fine, c_mid_sg], axis=-1),
-                         color=False)
+    fine_occ = mlp_dispatch(params['fine'], cfg, p,
+                            jnp.concatenate([c_fine, c_mid_sg], axis=-1),
+                            color=False, fused=fused)
     occ = fine_occ + middle_occ
     if stage == 'fine':
         return jnp.concatenate(
@@ -256,7 +277,8 @@ def nice_eval(params: Params, grids: dict[str, jnp.ndarray], p: jnp.ndarray,
 
     assert stage == 'color', stage
     c_color = feat_of('color', bound)
-    rgb_raw = mlp_apply(params['color'], cfg, p, c_color, color=True)
+    rgb_raw = mlp_dispatch(params['color'], cfg, p, c_color, color=True,
+                           fused=fused)
     return jnp.concatenate([rgb_raw[..., :3], occ[..., None]], axis=-1)
 
 

@@ -69,6 +69,11 @@ class SceneModel(NamedTuple):
     # the engines/renderer: ~8x fewer gathered rows per query point on TPU.
     # Same math as the baseline path up to f32 summation order.
     expanded: bool = True
+    # Use the fused Pallas decoder kernel (ops/pallas/fused_mlp.py) for MLP
+    # forwards.  Eval-only paths (mesher lattice query, full-frame renders)
+    # set this via model._replace(fused_eval=True); training keeps the XLA
+    # path (the kernel's VJP falls back to XLA autodiff anyway).
+    fused_eval: bool = False
 
 
 @jax.custom_vjp
@@ -101,7 +106,8 @@ def eval_raw(params: Any, grids: dict[str, jnp.ndarray] | None,
     """
     if model.kind == 'nice':
         raw = nice_eval(params, grids, p, stage, model.decoder, model.bound,
-                        model.coarse_bound, model.grid_shapes)
+                        model.coarse_bound, model.grid_shapes,
+                        fused=model.fused_eval)
     else:
         raw = imap_eval(params, p, model.decoder)
     inside = jnp.all((p > model.bound[:, 0]) & (p < model.bound[:, 1]),

@@ -25,6 +25,10 @@ class Visualizer:
                  rcfg: RenderConfig, intr: Intrinsics, verbose: bool = False):
         self.vis_dir = vis_dir
         self.freq = max(int(freq), 1)
+        # eval-only full-frame renders: fused Pallas decoder path
+        if model.kind == 'nice' and os.environ.get(
+                'NSTPU_NO_FUSED_MLP') != '1':
+            model = model._replace(fused_eval=True)
         self.model = model
         self.rcfg = rcfg
         self.intr = intr

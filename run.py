@@ -34,6 +34,13 @@ def main() -> None:
 
     from nice_slam_tpu.utils.compilation_cache import enable as _cc
     _cc()
+    # multi-host bring-up when launched under a pod launcher that exports
+    # NSTPU_COORDINATOR / NSTPU_NUM_PROCESSES / NSTPU_PROCESS_ID
+    from nice_slam_tpu.parallel.distributed import initialize_from_env
+    if initialize_from_env():
+        import jax
+        print(f'INFO: multi-host runtime: process {jax.process_index()} of '
+              f'{jax.process_count()}, {len(jax.devices())} global devices')
     from nice_slam_tpu.utils.config import load_config
     default = 'configs/nice_slam.yaml' if args.nice else 'configs/imap.yaml'
     cfg = load_config(args.config, default)

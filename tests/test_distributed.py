@@ -1,0 +1,167 @@
+"""Multi-host distribution tests (SURVEY §5.8).
+
+Two levels:
+  * keyframe-sharded mapping on the 8-virtual-device single-process mesh
+    must EQUAL the replicated single-chip step (the per-frame PRNG streams
+    make the draws identical; only f32 psum order differs);
+  * a real 2-process run (subprocesses, gloo CPU collectives,
+    jax.distributed.initialize) where each process feeds only its local
+    half of the window, checked against the single-process result.
+"""
+
+import json
+import os
+import subprocess
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _setup(n_frames=4):
+    import __graft_entry__ as g
+    from nice_slam_tpu.core.cameras import Intrinsics
+    from nice_slam_tpu.engine.mapper import (
+        MapperConfig, lr_table, stage_schedule)
+
+    model, rcfg, gcfg, grids, params, key = g._tiny_setup()
+    intr = Intrinsics(H=24, W=32, fx=16.0, fy=16.0, cx=15.5, cy=11.5)
+    stage_lr = tuple((s, (0.005, 0.001, 0.1, 0.005, 0.005))
+                     for s in ('coarse', 'middle', 'fine', 'color'))
+    mcfg = MapperConfig(pixels=64, iters=6, stage_lr=stage_lr, ba=True,
+                        fix_fine=False, fix_color=False)
+    opt_dec = {'fine': params['fine'], 'color': params['color']}
+    frozen = {k: v for k, v in params.items() if k not in opt_dec}
+    rng = np.random.default_rng(0)
+    cams = jnp.asarray([[1.0, 0, 0, 0, 0.05 * i, 0, 0]
+                        for i in range(n_frames)])
+    opt_params = {'cams': cams, 'grids': grids, 'dec': opt_dec}
+    colors = jnp.asarray(rng.random((n_frames, 24, 32, 3)), jnp.float32)
+    depths = jnp.asarray(0.5 + rng.random((n_frames, 24, 32)) * 0.5,
+                         jnp.float32)
+    lr_tab = jnp.asarray(lr_table(mcfg, mcfg.iters, 1.0, True, True))
+    stage_idx = jnp.asarray(stage_schedule(mcfg, mcfg.iters, True))
+    cam_mask = jnp.ones((n_frames,)).at[0].set(0.0)
+    return (model, rcfg, mcfg, intr, opt_params, frozen, colors, depths,
+            lr_tab, stage_idx, cam_mask, key)
+
+
+def test_kf_sharded_matches_replicated():
+    """Keyframe-sharded mapping (4 frames over 4 devices) must reproduce
+    the replicated step's values: identical pixel draws per frame, psum
+    changes only the f32 summation order."""
+    from nice_slam_tpu.engine.mapper import make_map_step
+    from nice_slam_tpu.parallel.distributed import (
+        kf_mesh, make_kf_sharded_map_step, window_to_global)
+
+    (model, rcfg, mcfg, intr, opt_params, frozen, colors, depths,
+     lr_tab, stage_idx, cam_mask, key) = _setup(4)
+
+    single = make_map_step(model=model, rcfg=rcfg, mcfg=mcfg, intr=intr,
+                           n_frames=4, n_iters=mcfg.iters, pix_per_frame=16)
+    mesh = kf_mesh(jax.devices()[:4])
+    sharded = make_kf_sharded_map_step(
+        mesh=mesh, model=model, rcfg=rcfg, mcfg=mcfg, intr=intr,
+        n_frames=4, n_iters=mcfg.iters, pix_per_frame=16)
+
+    out_s, _, loss_s = single(opt_params, frozen, None, lr_tab, stage_idx,
+                              cam_mask, colors, depths, key)
+    c_g, d_g = window_to_global(mesh, np.asarray(colors), np.asarray(depths))
+    out_m, _, loss_m = sharded(opt_params, frozen, None, lr_tab, stage_idx,
+                               cam_mask, c_g, d_g, key)
+
+    np.testing.assert_allclose(np.asarray(loss_m), np.asarray(loss_s),
+                               rtol=2e-4)
+    np.testing.assert_allclose(np.asarray(out_m['cams']),
+                               np.asarray(out_s['cams']), atol=1e-5)
+    for name in out_s['grids']:
+        got = np.asarray(out_m['grids'][name])
+        want = np.asarray(out_s['grids'][name])
+        # psum changes f32 summation order; a voxel whose per-frame grad
+        # contributions nearly cancel can flip Adam's update sign, so a
+        # handful of cells may differ by ~lr*iters.  Everything else must
+        # match tightly.
+        frac = np.mean(np.abs(got - want) < 1e-5)
+        assert frac > 0.999, (name, frac)
+
+
+_CHILD = r"""
+import json, os, sys
+pid = int(sys.argv[1]); nproc = int(sys.argv[2]); port = sys.argv[3]
+sys.path.insert(0, {repo!r}); sys.path.insert(0, os.path.join({repo!r}, 'tests'))
+from nice_slam_tpu.parallel import distributed as D
+D.initialize(coordinator_address=f'localhost:{{port}}', num_processes=nproc,
+             process_id=pid, cpu_simulation=True, local_device_count=2)
+import jax, jax.numpy as jnp, numpy as np
+from test_distributed import _setup
+(model, rcfg, mcfg, intr, opt_params, frozen, colors, depths,
+ lr_tab, stage_idx, cam_mask, key) = _setup(4)
+mesh = D.kf_mesh()
+assert mesh.devices.size == 4 and jax.process_count() == 2
+step = D.make_kf_sharded_map_step(
+    mesh=mesh, model=model, rcfg=rcfg, mcfg=mcfg, intr=intr,
+    n_frames=4, n_iters=mcfg.iters, pix_per_frame=16)
+# each process feeds ONLY its half of the window (2 frames)
+lo, hi = pid * 2, pid * 2 + 2
+c_g, d_g = D.window_to_global(mesh, np.asarray(colors[lo:hi]),
+                              np.asarray(depths[lo:hi]))
+out, _, losses = step(opt_params, frozen, None, lr_tab, stage_idx,
+                      cam_mask, c_g, d_g, key)
+res = dict(losses=np.asarray(losses).tolist(),
+           cams=np.asarray(out['cams']).tolist(),
+           mid=float(jnp.sum(jnp.abs(out['grids']['middle']))))
+print('RESULT' + str(pid) + json.dumps(res), flush=True)
+"""
+
+
+@pytest.mark.slow
+def test_two_process_kf_sharded_map(tmp_path):
+    """Real multi-process run: 2 processes x 2 virtual devices, gloo
+    collectives, host-local keyframe feeding.  Both ranks must agree with
+    each other and with the single-process replicated step."""
+    from nice_slam_tpu.engine.mapper import make_map_step
+
+    child = tmp_path / 'child.py'
+    child.write_text(_CHILD.format(repo=REPO))
+    port = 12931
+    env = dict(os.environ)
+    env.pop('XLA_FLAGS', None)
+    procs = [subprocess.Popen(
+        [sys.executable, str(child), str(i), '2', str(port)],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        env=env, cwd=str(tmp_path))
+        for i in range(2)]
+    outs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=600)
+        assert p.returncode == 0, out[-4000:]
+        outs.append(out)
+
+    results = {}
+    for out in outs:
+        for line in out.splitlines():
+            if line.startswith('RESULT'):
+                results[int(line[6])] = json.loads(line[7:])
+    assert sorted(results) == [0, 1], outs[0][-2000:]
+
+    # ranks agree (the update is replicated)
+    np.testing.assert_allclose(results[0]['losses'], results[1]['losses'],
+                               rtol=1e-5)
+    np.testing.assert_allclose(results[0]['cams'], results[1]['cams'],
+                               rtol=1e-5)
+
+    # and match the in-process replicated reference
+    (model, rcfg, mcfg, intr, opt_params, frozen, colors, depths,
+     lr_tab, stage_idx, cam_mask, key) = _setup(4)
+    single = make_map_step(model=model, rcfg=rcfg, mcfg=mcfg, intr=intr,
+                           n_frames=4, n_iters=mcfg.iters, pix_per_frame=16)
+    out_s, _, loss_s = single(opt_params, frozen, None, lr_tab, stage_idx,
+                              cam_mask, colors, depths, key)
+    np.testing.assert_allclose(results[0]['losses'],
+                               np.asarray(loss_s).tolist(), rtol=2e-4)
+    np.testing.assert_allclose(results[0]['cams'],
+                               np.asarray(out_s['cams']).tolist(), atol=1e-5)
