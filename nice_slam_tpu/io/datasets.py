@@ -119,15 +119,11 @@ def _flip_yz(c2w: np.ndarray) -> np.ndarray:
 
 
 def _read_exr_depth(filename: str) -> np.ndarray:
-    """CoFusion depth is EXR; decode via OpenCV's EXR codec (the reference
-    used the OpenEXR package, datasets.py:12-44)."""
-    os.environ.setdefault('OPENCV_IO_ENABLE_OPENEXR', '1')
-    d = cv2.imread(filename, cv2.IMREAD_ANYCOLOR | cv2.IMREAD_ANYDEPTH)
-    if d is None:
-        raise IOError(f'cannot read EXR depth: {filename}')
-    if d.ndim == 3:
-        d = d[..., 0]
-    return d.astype(np.float32)
+    """CoFusion depth is EXR; decoded by the first-party codec (io/exr.py).
+    The reference used the OpenEXR package (datasets.py:12-44), which —
+    like an EXR-enabled OpenCV — is absent from this environment."""
+    from nice_slam_tpu.io.exr import read_exr_depth
+    return read_exr_depth(filename)
 
 
 @register('replica')
