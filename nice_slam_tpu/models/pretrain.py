@@ -50,6 +50,48 @@ def _convert_mlp(torch_params: dict, target: Any) -> Any:
     return out
 
 
+def _mlp_to_torch_sd(params: Any, prefix: str) -> dict:
+    """Inverse of _convert_mlp: our pytree -> torch state-dict entries in
+    the reference checkpoint's key layout (transposed Linear weights)."""
+    import torch
+    sd = {}
+    for i, layer in enumerate(params['pts_linears']):
+        sd[f'{prefix}pts_linears.{i}.weight'] = torch.from_numpy(
+            np.asarray(layer['w']).T.copy())
+        sd[f'{prefix}pts_linears.{i}.bias'] = torch.from_numpy(
+            np.asarray(layer['b']).copy())
+    for i, layer in enumerate(params.get('fc_c', [])):
+        sd[f'{prefix}fc_c.{i}.weight'] = torch.from_numpy(
+            np.asarray(layer['w']).T.copy())
+        sd[f'{prefix}fc_c.{i}.bias'] = torch.from_numpy(
+            np.asarray(layer['b']).copy())
+    sd[f'{prefix}output_linear.weight'] = torch.from_numpy(
+        np.asarray(params['out']['w']).T.copy())
+    sd[f'{prefix}output_linear.bias'] = torch.from_numpy(
+        np.asarray(params['out']['b']).copy())
+    if 'embed_b' in params:
+        sd[f'{prefix}embedder._B'] = torch.from_numpy(
+            np.asarray(params['embed_b']).copy())
+    return sd
+
+
+def save_torch_pretrain(params: Any, coarse_path: str | None,
+                        middle_fine_path: str) -> None:
+    """Write decoders as reference-format pretrained blobs
+    (NICE_SLAM.load_pretrain's expected layout, :210-241): middle_fine.pt
+    holds middle under 'decoder.coarse.*' (the reference quirk) and fine
+    under 'decoder.fine.*'; coarse.pt holds the MLP_no_xyz under
+    'decoder.*'."""
+    import torch
+    sd = {}
+    sd.update(_mlp_to_torch_sd(params['middle'], 'decoder.coarse.'))
+    sd.update(_mlp_to_torch_sd(params['fine'], 'decoder.fine.'))
+    torch.save({'model': sd}, middle_fine_path)
+    if coarse_path is not None and 'coarse' in params:
+        torch.save({'model': _mlp_to_torch_sd(params['coarse'], 'decoder.')},
+                   coarse_path)
+
+
 def load_torch_pretrain(params: Any, pre_cfg: dict, *, coarse: bool) -> Any:
     import torch
 
