@@ -4,8 +4,10 @@ Functional parity target: /root/reference/visualizer.py + src/tools/viz.py —
 the reference opens an interactive Open3D window that replays the estimated
 trajectory over the reconstructed mesh.  This environment is headless, so
 the replay renders to an image sequence (and an mp4 when ffmpeg exists):
-the latest mesh is depth-rendered from each estimated pose with the native
-rasterizer and composited with the trajectory plot.
+each replayed pose shows the scene model's RENDERED COLOR (the full
+volume renderer on the checkpoint's grids+decoders), the latest mesh's
+depth from the native rasterizer, and the trajectory plot.  --no-rgb
+skips the volume renders (they are the expensive part).
 
     python tools/visualizer.py configs/Replica/room0.yaml [--output O]
 """
@@ -30,6 +32,8 @@ def main() -> None:
     parser.add_argument('--output', type=str, default=None)
     parser.add_argument('--stride', type=int, default=10)
     parser.add_argument('--save_video', action='store_true')
+    parser.add_argument('--no-rgb', dest='rgb', action='store_false',
+                        help='skip volume-rendered color panels')
     args = parser.parse_args()
 
     from nice_slam_tpu.utils.config import load_config, intrinsics_from_cfg
@@ -59,6 +63,30 @@ def main() -> None:
         raise SystemExit(f'no mesh under {output}/mesh')
     verts, tris = load_ply(os.path.join(output, 'mesh', meshes[-1]))
 
+    renderer = None
+    if args.rgb:
+        import jax
+        import jax.numpy as jnp
+        from nice_slam_tpu.render.renderer import render_image
+        from nice_slam_tpu.utils.config import (
+            get_model, render_config_from_cfg)
+        model, _, _ = get_model(cfg, nice=True)
+        if model.kind == 'nice':
+            model = model._replace(fused_eval=True)
+        rcfg = render_config_from_cfg(cfg)
+        grids = {k: jnp.asarray(v).reshape(-1, v.shape[-1])
+                 for k, v in state['grids'].items()}
+        params = jax.tree.map(jnp.asarray,
+                              {**state['frozen_dec'], **state['opt_dec']})
+        rintr = intr.scaled_to(max(int(intr.H * 320.0 / intr.W) // 2 * 2, 2),
+                               320)
+
+        def renderer(c2w):
+            _, _, color = render_image(params, grids, jnp.asarray(c2w),
+                                       rintr, stage='color', model=model,
+                                       rcfg=rcfg)
+            return np.clip(np.asarray(color), 0, 1)
+
     frames_dir = os.path.join(output, 'replay')
     os.makedirs(frames_dir, exist_ok=True)
     scale_w = 320.0 / intr.W
@@ -72,14 +100,22 @@ def main() -> None:
         d = rasterize_depth(verts, tris, w2c.astype(np.float32),
                             intr.fx * scale_w, intr.fy * scale_w,
                             intr.cx * scale_w, intr.cy * scale_w, h, w)
-        fig, (ax1, ax2) = plt.subplots(1, 2, figsize=(9, 3.2))
-        ax1.imshow(d, cmap='plasma')
-        ax1.set_title(f'mesh depth @ frame {i}')
-        ax1.axis('off')
-        ax2.plot(est[:i + 1, 0, 3], est[:i + 1, 2, 3], 'b-')
-        ax2.plot(est[i, 0, 3], est[i, 2, 3], 'ro')
-        ax2.set_title('trajectory (x-z)')
-        ax2.set_aspect('equal')
+        ncols = 3 if renderer is not None else 2
+        fig, axs = plt.subplots(1, ncols, figsize=(4.5 * ncols, 3.2))
+        col = 0
+        if renderer is not None:
+            axs[col].imshow(renderer(c2w))
+            axs[col].set_title(f'rendered color @ frame {i}')
+            axs[col].axis('off')
+            col += 1
+        axs[col].imshow(d, cmap='plasma')
+        axs[col].set_title(f'mesh depth @ frame {i}')
+        axs[col].axis('off')
+        col += 1
+        axs[col].plot(est[:i + 1, 0, 3], est[:i + 1, 2, 3], 'b-')
+        axs[col].plot(est[i, 0, 3], est[i, 2, 3], 'ro')
+        axs[col].set_title('trajectory (x-z)')
+        axs[col].set_aspect('equal')
         fig.savefig(os.path.join(frames_dir, f'{k:05d}.jpg'), dpi=100,
                     bbox_inches='tight')
         plt.close(fig)
