@@ -148,11 +148,188 @@ def _plane_bytes(ny: int, nz: int, c: int) -> int:
     return 4 * p * 7 * (8 * c)
 
 
+def _rows_per_chunk(ny: int, nz: int, c: int) -> int:
+    """y-lines per chunk for the chunked kernels (largest count whose
+    VMEM estimate fits)."""
+    by = ny
+    while by > 1 and _plane_bytes(by, nz, c) > _VMEM_LIMIT_BYTES:
+        by = (by + 1) // 2
+    return by
+
+
 def pallas_expand_ok(shape: tuple[int, int, int], c: int) -> bool:
-    """Whether the plane-streaming kernels fit in VMEM (16 MB/core);
-    larger planes fall back to the XLA slice+concat formulation."""
+    """Whether the streaming kernels can run: large planes are chunked
+    along y (halo = one y-line), so only a single y-line overflowing VMEM
+    forces the XLA fallback."""
     nx, ny, nz = shape
-    return _plane_bytes(ny, nz, c) <= _VMEM_LIMIT_BYTES
+    return _plane_bytes(1, nz, c) <= _VMEM_LIMIT_BYTES
+
+
+# ---------------------------------------------------------------------------
+# Chunked variants: planes too large for VMEM are split along y; the only
+# cross-chunk dependency is ONE y-line (the y+1 shift and its transpose),
+# passed as an extra clamped-index block.  Masks are computed in-kernel
+# from the global y/z of each row.
+# ---------------------------------------------------------------------------
+
+def _row_coords(by: int, nz: int, j, ny: int):
+    rows = jax.lax.broadcasted_iota(jnp.int32, (by * nz, 1), 0)
+    z = rows % nz
+    y = j * by + rows // nz
+    return (z == nz - 1), (y == ny - 1)
+
+
+def _expand_kernel_chunked(nz: int, ny: int, by: int, cur_ref, curh_ref,
+                           nxt_ref, nxth_ref, out_ref):
+    j = pl.program_id(1)
+    cur = cur_ref[0]
+    nxt = nxt_ref[0]
+    zlast, ylast = _row_coords(by, nz, j, ny)
+
+    def sz(v):
+        return jnp.where(zlast, v, _shift_up(v, 1))
+
+    def sy(v, halo):
+        if by == 1:
+            shifted = halo
+        else:
+            shifted = jnp.concatenate([v[nz:], halo], axis=0)
+        return jnp.where(ylast, v, shifted)
+
+    blocks = []
+    for base, halo in ((cur, curh_ref[0]), (nxt, nxth_ref[0])):
+        for byv in (base, sy(base, halo)):
+            blocks.append(byv)
+            blocks.append(sz(byv))
+    out_ref[0] = jnp.concatenate(blocks, axis=-1)
+
+
+def _fold_kernel_chunked(nz: int, c: int, nx: int, ny: int, by: int,
+                         cur_ref, curh_ref, prv_ref, prvh_ref, out_ref):
+    x = pl.program_id(0)
+    j = pl.program_id(1)
+    cur = cur_ref[0]
+    prv = prv_ref[0]
+    zlast, ylast = _row_coords(by, nz, j, ny)
+    zl = zlast.astype(cur.dtype)
+    yl = ylast.astype(cur.dtype)
+
+    def szT(w):
+        return zl * w + _shift_down((1.0 - zl) * w, 1)
+
+    def syT(w, halo):
+        # transpose of sy: out[y] += w[y-1]; the y==ny-1 line additionally
+        # keeps its own (clamped) contribution.  The y-1 line of this
+        # chunk's first row lives in chunk j-1 (the halo; its y can never
+        # be ny-1, and there is none at j == 0).
+        head = jnp.where(j > 0, halo, 0.0)
+        body = ((1.0 - yl) * w)[:-nz] if by > 1 else None
+        shifted = head if body is None else jnp.concatenate(
+            [head, body], axis=0)
+        return yl * w + shifted
+
+    def corner(plane, halo, k):
+        w = plane[:, k * c:(k + 1) * c]
+        dx, rem = divmod(k, 4)
+        dy, dz = divmod(rem, 2)
+        if dz:
+            w = szT(w)
+        if dy:
+            # the halo line feeds syT's head and must carry the same
+            # z-transpose as the body (szT acts within a y-line)
+            hh = halo[:, k * c:(k + 1) * c]
+            if dz:
+                hzl = (jax.lax.broadcasted_iota(jnp.int32, (nz, 1), 0)
+                       == nz - 1).astype(plane.dtype)
+                hh = hzl * hh + _shift_down((1.0 - hzl) * hh, 1)
+            w = syT(w, hh)
+        return w
+
+    acc = (corner(cur, curh_ref[0], 0) + corner(cur, curh_ref[0], 1)
+           + corner(cur, curh_ref[0], 2) + corner(cur, curh_ref[0], 3))
+    from_prev = (corner(prv, prvh_ref[0], 4) + corner(prv, prvh_ref[0], 5)
+                 + corner(prv, prvh_ref[0], 6) + corner(prv, prvh_ref[0], 7))
+    acc = acc + jnp.where(x > 0, 1.0, 0.0) * from_prev
+    from_self = (corner(cur, curh_ref[0], 4) + corner(cur, curh_ref[0], 5)
+                 + corner(cur, curh_ref[0], 6) + corner(cur, curh_ref[0], 7))
+    acc = acc + jnp.where(x == nx - 1, 1.0, 0.0) * from_self
+    out_ref[0] = acc
+
+
+def _pad_y(a3: jnp.ndarray, ny: int, nz: int, by: int) -> tuple:
+    """Zero-pad the plane rows so ny is a by-multiple; returns (arr, ny_p)."""
+    n_chunks = -(-ny // by)
+    ny_p = n_chunks * by
+    if ny_p != ny:
+        a3 = jnp.pad(a3, ((0, 0), (0, (ny_p - ny) * nz), (0, 0)))
+    return a3, ny_p
+
+
+def _expand_call_chunked(grid_flat, shape, interpret, by):
+    nx, ny, nz = shape
+    c = grid_flat.shape[-1]
+    g3, ny_p = _pad_y(grid_flat.reshape(nx, ny * nz, c), ny, nz, by)
+    n_chunks = ny_p // by
+    out = pl.pallas_call(
+        functools.partial(_expand_kernel_chunked, nz, ny, by),
+        out_shape=jax.ShapeDtypeStruct((nx, ny_p * nz, 8 * c),
+                                       grid_flat.dtype),
+        grid=(nx, n_chunks),
+        in_specs=[
+            pl.BlockSpec((1, by * nz, c), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            # first y-line of chunk j+1 (clamped at the padded top)
+            pl.BlockSpec((1, nz, c),
+                         lambda i, j, ny_p=ny_p: (
+                             i, jnp.minimum((j + 1) * by, ny_p - 1), 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, by * nz, c),
+                         lambda i, j, nx=nx: (jnp.minimum(i + 1, nx - 1),
+                                              j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nz, c),
+                         lambda i, j, nx=nx, ny_p=ny_p: (
+                             jnp.minimum(i + 1, nx - 1),
+                             jnp.minimum((j + 1) * by, ny_p - 1), 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, by * nz, 8 * c), lambda i, j: (i, j, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(g3, g3, g3, g3)
+    return out[:, :ny * nz].reshape(nx * ny * nz, 8 * c)
+
+
+def _fold_call_chunked(de_flat, shape, interpret, by):
+    nx, ny, nz = shape
+    c8 = de_flat.shape[-1]
+    c = c8 // 8
+    d3, ny_p = _pad_y(de_flat.reshape(nx, ny * nz, c8), ny, nz, by)
+    n_chunks = ny_p // by
+    out = pl.pallas_call(
+        functools.partial(_fold_kernel_chunked, nz, c, nx, ny, by),
+        out_shape=jax.ShapeDtypeStruct((nx, ny_p * nz, c), de_flat.dtype),
+        grid=(nx, n_chunks),
+        in_specs=[
+            pl.BlockSpec((1, by * nz, c8), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            # last y-line of chunk j-1 (kernel zeroes it at j == 0)
+            pl.BlockSpec((1, nz, c8),
+                         lambda i, j: (i, jnp.maximum(j * by - 1, 0), 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, by * nz, c8),
+                         lambda i, j: (jnp.maximum(i - 1, 0), j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nz, c8),
+                         lambda i, j: (jnp.maximum(i - 1, 0),
+                                       jnp.maximum(j * by - 1, 0), 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, by * nz, c), lambda i, j: (i, j, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(d3, d3, d3, d3)
+    return out[:, :ny * nz].reshape(nx * ny * nz, c)
 
 
 def _expand_call(grid_flat: jnp.ndarray, shape: tuple[int, int, int],
@@ -160,6 +337,9 @@ def _expand_call(grid_flat: jnp.ndarray, shape: tuple[int, int, int],
     nx, ny, nz = shape
     c = grid_flat.shape[-1]
     p = ny * nz
+    if _plane_bytes(ny, nz, c) > _VMEM_LIMIT_BYTES:
+        return _expand_call_chunked(grid_flat, shape, interpret,
+                                    _rows_per_chunk(ny, nz, c))
     g3 = grid_flat.reshape(nx, p, c)
     masks = jnp.asarray(_plane_masks(ny, nz))
     out = pl.pallas_call(

@@ -94,3 +94,67 @@ def test_expand_pallas_fold_matches_xla_grad(shape):
     g_pal = jax.grad(loss_pal)(g)
     np.testing.assert_allclose(np.asarray(g_pal), np.asarray(g_ref),
                                atol=1e-5, rtol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# chunked variants (planes larger than VMEM split along y; halo = one
+# y-line).  Forced small chunk sizes cover: by dividing ny, by not
+# dividing ny (zero-padding path), and by == 1.
+# ---------------------------------------------------------------------------
+
+from nice_slam_tpu.ops.pallas.expand import (
+    _expand_call_chunked, _fold_call_chunked)
+
+
+@pytest.mark.parametrize('shape,by', [((4, 6, 3), 2), ((4, 7, 3), 3),
+                                      ((3, 5, 4), 1), ((2, 4, 3), 4)])
+def test_expand_chunked_matches_xla(shape, by):
+    nx, ny, nz = shape
+    m = nx * ny * nz
+    g = jnp.asarray(np.random.default_rng(3).normal(
+        size=(m, 8)).astype(np.float32))
+    ref = expand_grid_xla(g, shape).e
+    out = _expand_call_chunked(g, shape, True, by)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+
+@pytest.mark.parametrize('shape,by', [((4, 6, 3), 2), ((4, 7, 3), 3),
+                                      ((3, 5, 4), 1), ((2, 4, 3), 4)])
+def test_fold_chunked_matches_xla_transpose(shape, by):
+    nx, ny, nz = shape
+    m = nx * ny * nz
+    rng = np.random.default_rng(4)
+    g = jnp.asarray(rng.normal(size=(m, 8)).astype(np.float32))
+    cot = jnp.asarray(rng.normal(size=(m, 64)).astype(np.float32))
+
+    def loss_ref(g):
+        return jnp.vdot(expand_grid_xla(g, shape).e, cot)
+
+    want = jax.grad(loss_ref)(g)
+    got = _fold_call_chunked(cot, shape, True, by)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-5, rtol=1e-5)
+
+
+def test_vmem_dispatch_uses_chunked_path(monkeypatch):
+    """Shrinking the VMEM budget must route expand_grid_pallas through the
+    chunked kernels with identical values and gradients."""
+    import nice_slam_tpu.ops.pallas.expand as E
+    shape = (3, 6, 4)
+    m = shape[0] * shape[1] * shape[2]
+    rng = np.random.default_rng(5)
+    g = jnp.asarray(rng.normal(size=(m, 8)).astype(np.float32))
+    cot = jnp.asarray(rng.normal(size=(m, 64)).astype(np.float32))
+    ref = expand_grid_xla(g, shape).e
+    want_grad = jax.grad(
+        lambda g: jnp.vdot(expand_grid_xla(g, shape).e, cot))(g)
+
+    monkeypatch.setattr(E, '_VMEM_LIMIT_BYTES',
+                        E._plane_bytes(2, shape[2], 8))
+    assert E.pallas_expand_ok(shape, 8)
+    out = E.expand_grid_pallas(g, shape, True)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+    got_grad = jax.grad(
+        lambda g: jnp.vdot(E.expand_grid_pallas(g, shape, True), cot))(g)
+    np.testing.assert_allclose(np.asarray(got_grad), np.asarray(want_grad),
+                               atol=1e-5, rtol=1e-5)
