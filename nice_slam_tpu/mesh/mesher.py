@@ -62,11 +62,12 @@ class Mesher:
                  intr: Intrinsics, *, rcfg=None, sharded_mesh=None):
         from nice_slam_tpu.render.renderer import RenderConfig, render_rays
         self.cfg = mcfg
-        # eval-only consumer: take the fused Pallas decoder path (measured
-        # on the 256^3 lattice, see BASELINE.md; NSTPU_NO_FUSED_MLP=1
-        # forces the XLA path)
-        if model.kind == 'nice' and os.environ.get(
-                'NSTPU_NO_FUSED_MLP') != '1':
+        # MEASURED (BASELINE.md r2): on the 256^3 lattice the fused Pallas
+        # decoder is 2x SLOWER than XLA (15M vs 32M pts/s) — the kernel
+        # boundary materializes the gathered grid features to HBM, while
+        # XLA fuses gather+MLP into one pass.  XLA is therefore the
+        # default; NSTPU_FUSED_MLP=1 opts into the kernel.
+        if model.kind == 'nice' and os.environ.get('NSTPU_FUSED_MLP') == '1':
             model = model._replace(fused_eval=True)
         self.model = model
         self.intr = intr

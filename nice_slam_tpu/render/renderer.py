@@ -136,7 +136,7 @@ def _z_values(key: jax.Array | None, rcfg: RenderConfig,
         z_surf = surface_z_vals(rcfg.n_surface, gt_depth)
         # NOTE: a two-way rank merge (the inputs are each sorted) was
         # benchmarked at this shape and does NOT beat the lane sort on TPU
-        # (scripts/proto_merge.py: sort 0.55 ms vs best merge 0.61 ms) —
+        # (scripts/studies/proto_merge.py: sort 0.55 ms vs merge 0.61 ms) —
         # both are dominated by fixed per-op overhead at <=48 lanes.
         z_vals = jnp.sort(jnp.concatenate([z_vals, z_surf], axis=-1), axis=-1)
     return z_vals

@@ -25,9 +25,9 @@ class Visualizer:
                  rcfg: RenderConfig, intr: Intrinsics, verbose: bool = False):
         self.vis_dir = vis_dir
         self.freq = max(int(freq), 1)
-        # eval-only full-frame renders: fused Pallas decoder path
-        if model.kind == 'nice' and os.environ.get(
-                'NSTPU_NO_FUSED_MLP') != '1':
+        # NSTPU_FUSED_MLP=1 opts into the fused Pallas decoder for the
+        # full-frame renders (measured slower than XLA, see BASELINE.md)
+        if model.kind == 'nice' and os.environ.get('NSTPU_FUSED_MLP') == '1':
             model = model._replace(fused_eval=True)
         self.model = model
         self.rcfg = rcfg

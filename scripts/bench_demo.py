@@ -8,7 +8,14 @@ every 10 frames (window 10), coarse mapper, sync_method loose, 256^3 mesh
 every 50 frames, checkpoint at the end — on 500 synthetic 480x640 frames
 and reports total wall time including compiles.
 
-Usage: python scripts/bench_demo.py [n_frames]
+Usage: python scripts/bench_demo.py [n_frames] [--pretrained]
+
+--pretrained consumes the repo blobs (pretrained/coarse.pt,
+pretrained/middle_fine.pt, written by tools/pretrain_decoders.py) in the
+reference's pretrained mode: middle+fine+coarse decoders frozen, bare
+1e-10 tracking variance epsilon.  The from-scratch run (default) is the
+round-1 configuration whose back-half accuracy drifted at this light
+budget (BASELINE.md).
 """
 import json
 import os
@@ -20,7 +27,7 @@ sys.path.insert(0, os.path.join(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__))), 'tests'))
 
 
-def main(n_frames=500):
+def main(n_frames=500, pretrained=False):
     import numpy as np
     from util import make_test_cfg
 
@@ -37,6 +44,14 @@ def main(n_frames=500):
     m = cfg['mapping']
     m.update(every_frame=10, mesh_freq=50, ckpt_freq=500, keyframe_every=50,
              mapping_window_size=10, pixels=1000, iters_first=400, iters=10)
+    if pretrained:
+        root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        cfg['pretrained_decoders'] = {
+            'coarse': os.path.join(root, 'pretrained', 'coarse.pt'),
+            'middle_fine': os.path.join(root, 'pretrained',
+                                        'middle_fine.pt')}
+        cfg['mapping'].update(fix_fine=True, train_middle=False)
+        cfg['tracking']['var_floor'] = 1.0e-10
     out = '/tmp/nstpu_demo_bench'
 
     t0 = time.perf_counter()
@@ -49,6 +64,7 @@ def main(n_frames=500):
     summ = slam.timers.summary()
     print(json.dumps({
         'metric': 'demo_500_wall_s',
+        'pretrained': pretrained,
         'value': round(total_s, 1),
         'unit': 's',
         'frames': n_frames,
@@ -60,4 +76,6 @@ def main(n_frames=500):
 
 
 if __name__ == '__main__':
-    main(int(sys.argv[1]) if len(sys.argv) > 1 else 500)
+    args = [a for a in sys.argv[1:] if a != '--pretrained']
+    main(int(args[0]) if args else 500,
+         pretrained='--pretrained' in sys.argv)

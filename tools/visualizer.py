@@ -71,8 +71,6 @@ def main() -> None:
         from nice_slam_tpu.utils.config import (
             get_model, render_config_from_cfg)
         model, _, _ = get_model(cfg, nice=True)
-        if model.kind == 'nice':
-            model = model._replace(fused_eval=True)
         rcfg = render_config_from_cfg(cfg)
         grids = {k: jnp.asarray(v).reshape(-1, v.shape[-1])
                  for k, v in state['grids'].items()}
