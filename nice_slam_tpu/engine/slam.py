@@ -246,6 +246,31 @@ class SlamSystem:
         self.track_device = devs[0]
         self.map_device = (devs[1] if self.sync_method != 'strict'
                            and len(devs) > 1 else devs[0])
+
+        # multi-device mapping backend (config `parallel.map`):
+        #   'none' - single-device mapping (default)
+        #   'kf'   - keyframe-sharded over a global mesh (the multi-host
+        #            axis, parallel/distributed.py): window frames split
+        #            across devices, each PROCESS feeds only its local
+        #            frames; draw-identical to single-device
+        #   'rays' - ray-sharded (parallel/sharded.py): every device draws
+        #            its own pixel subset, grads psum
+        pcfg = cfg.get('parallel', {}) or {}
+        self.par_map = pcfg.get('map', 'none')
+        self.par_mesh = None
+        if self.par_map != 'none':
+            n_par = int(pcfg.get('devices', 0)) or len(devs)
+            if self.par_map == 'kf':
+                from nice_slam_tpu.parallel.distributed import kf_mesh
+                self.par_mesh = kf_mesh(devs[:n_par])
+            elif self.par_map == 'rays':
+                from nice_slam_tpu.parallel.mesh import make_ray_mesh
+                self.par_mesh = make_ray_mesh(n_par, devices=devs)
+            else:
+                raise ValueError(f'parallel.map: {self.par_map}')
+            # sharded mapping owns the devices; the 2-device pipeline and
+            # per-frame device cache are single-device mechanisms
+            self.map_device = self.track_device
         # (frame_idx, one mapping output leaf) of a dispatched-but-not-yet-
         # consumed mapping call; the tracker refreshes its snapshot from
         # self.grids when this is ready (or the loose gate forces it)
@@ -591,18 +616,25 @@ class SlamSystem:
                              'est_c2w': cur_c2w})
                 self.selected_keyframes[idx] = info
 
-            # build window arrays: selected keyframes then the current frame
+            # build window arrays: selected keyframes then the current
+            # frame.  Keyframe-sharded mapping keeps frames on the host
+            # here (each process uploads only its shard below), bypassing
+            # the per-frame device cache.
+            kf_par = self.par_mesh is not None and self.par_map == 'kf'
             colors, depths, cam7s, cam_mask = [], [], [], []
             for pos in sel:
                 kf = store.frames[pos]
-                c_dev, d_dev = self._device_frame(kf.idx, kf.color, kf.depth,
-                                                  device=map_dev)
+                if kf_par:
+                    c_dev, d_dev = kf.color, kf.depth
+                else:
+                    c_dev, d_dev = self._device_frame(
+                        kf.idx, kf.color, kf.depth, device=map_dev)
                 colors.append(c_dev)
                 depths.append(d_dev)
                 cam7s.append(self._cam7(kf.est_c2w))
                 cam_mask.append(0.0 if pos == oldest else 1.0)
-            colors.append(color)
-            depths.append(depth)
+            colors.append(color_np.astype(np.float32) if kf_par else color)
+            depths.append(depth_np.astype(np.float32) if kf_par else depth)
             cam7s.append(self._cam7(cur_c2w))
             cam_mask.append(1.0)
             real_n = len(colors)
@@ -616,6 +648,10 @@ class SlamSystem:
             # Duplicate slots are pose-frozen; the primary slot carries
             # any BA update.
             n_frames = max(window_size, real_n)
+            if self.par_mesh is not None:
+                # sharded window: frame count must tile the mesh
+                n_dev = self.par_mesh.devices.size
+                n_frames = -(-n_frames // n_dev) * n_dev
             for k in range(n_frames - real_n):
                 src = real_n - 1 - (k % real_n)
                 colors.append(colors[src])
@@ -636,18 +672,29 @@ class SlamSystem:
                                    'color': opt_dec.pop('color')}
 
             cache_key = (coarse, n_frames, chunk_iters, pix_per_frame,
-                         frustum_on, tuple(sorted(opt_dec)))
+                         frustum_on, tuple(sorted(opt_dec)), self.par_map)
             if cache_key not in self._map_fns:
                 from nice_slam_tpu.utils.optim import adam_init
                 # adam_init is jitted so every chunk (including the first)
                 # calls the SAME state-threading variant of the program —
                 # one heavy compile, not a None-state variant plus this one
-                self._map_fns[cache_key] = (
-                    make_map_step(
-                        model=self.model, rcfg=self.rcfg, mcfg=mcfg_eff,
-                        intr=self.intr, n_frames=n_frames,
-                        n_iters=chunk_iters, pix_per_frame=pix_per_frame),
-                    jax.jit(adam_init))
+                kwargs = dict(model=self.model, rcfg=self.rcfg,
+                              mcfg=mcfg_eff, intr=self.intr,
+                              n_frames=n_frames, n_iters=chunk_iters,
+                              pix_per_frame=pix_per_frame)
+                if self.par_mesh is None:
+                    step = make_map_step(**kwargs)
+                elif self.par_map == 'kf':
+                    from nice_slam_tpu.parallel.distributed import \
+                        make_kf_sharded_map_step
+                    step = make_kf_sharded_map_step(mesh=self.par_mesh,
+                                                    **kwargs)
+                else:
+                    from nice_slam_tpu.parallel.sharded import \
+                        make_sharded_map_step
+                    step = make_sharded_map_step(mesh=self.par_mesh,
+                                                 **kwargs)
+                self._map_fns[cache_key] = (step, jax.jit(adam_init))
             map_fn, init_fn = self._map_fns[cache_key]
 
             # full-length schedules, sliced per chunk; the tail chunk pads
@@ -678,8 +725,19 @@ class SlamSystem:
                 opt_params, frozen_dec, masks, sub = jax.device_put(
                     (opt_params, frozen_dec, masks, sub), map_dev)
             cam_mask_d = jnp.asarray(cam_mask)
-            colors_d = jnp.stack(colors)
-            depths_d = jnp.stack(depths)
+            if kf_par:
+                # each process uploads ONLY its local frame shard
+                from nice_slam_tpu.parallel.distributed import \
+                    window_to_global
+                f_local = n_frames // jax.process_count()
+                lo = jax.process_index() * f_local
+                colors_d, depths_d = window_to_global(
+                    self.par_mesh,
+                    np.stack(colors[lo:lo + f_local]),
+                    np.stack(depths[lo:lo + f_local]))
+            else:
+                colors_d = jnp.stack(colors)
+                depths_d = jnp.stack(depths)
             opt_state, loss_chunks = init_fn(opt_params), []
             for c in range(n_chunks):
                 if do_inside_vis and (c * chunk_iters) % vis_inside == 0:
