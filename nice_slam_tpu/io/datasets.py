@@ -319,6 +319,40 @@ class SyntheticBox(BaseDataset):
                 pose.astype(np.float32))
 
 
+def synthetic_gt_mesh(box, obstacles=None, resolution=192):
+    """Exact ground-truth surface mesh of the synthetic scene (room walls
+    + obstacle faces), for reconstruction-metric acceptance runs
+    (tools/eval_recon.py against a SLAM mesh of the `synthetic` dataset).
+
+    The free-space field f(p) = min(room interior SDF, -obstacle interior
+    SDFs) is analytic; its zero level set is the scene surface, extracted
+    with the native marching tetrahedra at `resolution`^3 (vertex error
+    bounded by the cell diagonal).
+    Returns (vertices [N, 3], triangles [M, 3]).
+    """
+    from nice_slam_tpu.mesh.native import marching_tetrahedra
+    box = np.asarray(box, dtype=np.float64)
+    if obstacles is None:
+        obstacles = default_obstacles(box)
+    pad = 0.05 * (box[:, 1] - box[:, 0])
+    xs = np.linspace(box[0, 0] - pad[0], box[0, 1] + pad[0], resolution)
+    ys = np.linspace(box[1, 0] - pad[1], box[1, 1] + pad[1], resolution)
+    zs = np.linspace(box[2, 0] - pad[2], box[2, 1] + pad[2], resolution)
+    X, Y, Z = np.meshgrid(xs, ys, zs, indexing='ij')
+    p = np.stack([X, Y, Z], axis=-1)
+
+    def inside_sdf(b):
+        """Positive inside box b, = distance to the nearest face."""
+        lo = p - b[:, 0]
+        hi = b[:, 1] - p
+        return np.minimum(lo.min(axis=-1), hi.min(axis=-1))
+
+    f = inside_sdf(box)
+    for ob in obstacles:
+        f = np.minimum(f, -inside_sdf(np.asarray(ob, dtype=np.float64)))
+    return marching_tetrahedra(f.astype(np.float32), xs, ys, zs, 0.0)
+
+
 def default_obstacles(box):
     """A few interior boxes so depth varies with every pose axis (a bare
     room's flat walls leave x/y translation depth-unobservable, which makes
