@@ -83,20 +83,24 @@ def stratified_z_vals(n_samples: int, near: jnp.ndarray, far: jnp.ndarray,
     return z_vals
 
 
-def surface_z_vals(n_surface: int, gt_depth: jnp.ndarray) -> jnp.ndarray:
+def surface_z_vals(n_surface: int, gt_depth: jnp.ndarray,
+                   d_max: jnp.ndarray | None = None) -> jnp.ndarray:
     """Near-surface samples: [0.95 d, 1.05 d] for pixels with depth, and a
     uniform sweep [0.001, max(depth)] for depth-zero pixels
     (reference Renderer.py:171-200, exactly the non-naive branch).
 
     Args:
       gt_depth: [N_rays] sensor depth (0 where invalid).
+      d_max: batch depth maximum override — the reference takes the max
+        over the WHOLE ray batch, so sharded callers pass the global
+        (psum-max) value to stay draw-identical.
     Returns:
       [N_rays, n_surface].
     """
     t_vals = jnp.linspace(0.0, 1.0, n_surface)
     d = gt_depth[..., None]
     z_surf = 0.95 * d * (1.0 - t_vals) + 1.05 * d * t_vals
-    far_zero = jnp.max(gt_depth)
+    far_zero = jnp.max(gt_depth) if d_max is None else d_max
     z_zero = 0.001 * (1.0 - t_vals) + far_zero * t_vals
     has_depth = (gt_depth > 0.0)[..., None]
     return jnp.where(has_depth, z_surf, z_zero[None, :])
@@ -104,7 +108,8 @@ def surface_z_vals(n_surface: int, gt_depth: jnp.ndarray) -> jnp.ndarray:
 
 def near_far_from_depth(rays_o: jnp.ndarray, rays_d: jnp.ndarray,
                         bound: jnp.ndarray, gt_depth: jnp.ndarray | None,
-                        grad_z: bool = False):
+                        grad_z: bool = False,
+                        d_max: jnp.ndarray | None = None):
     """near/far per ray following Renderer.py:125-159.
 
     With sensor depth: near = 0.01*d per ray, far = clamp(bbox exit + 0.01,
@@ -131,7 +136,10 @@ def near_far_from_depth(rays_o: jnp.ndarray, rays_d: jnp.ndarray,
         return near, far_bb
     d = gt_depth.reshape(-1, 1)
     near = d * 0.01
-    far = jnp.clip(far_bb, 0.0, jnp.max(d) * 1.2)
+    # the far clamp uses the max over the WHOLE ray batch
+    # (Renderer.py:137); sharded callers pass the global max as d_max
+    far = jnp.clip(far_bb, 0.0,
+                   (jnp.max(d) if d_max is None else d_max) * 1.2)
     return near, far
 
 

@@ -218,9 +218,16 @@ def build_stage_losses(*, model: SceneModel, rcfg: RenderConfig,
             else:
                 inside = jnp.ones_like(dgt, dtype=bool)
             d_render = jnp.where(inside, dgt, 0.0)
+            # the reference's far clamp takes the max over the WHOLE
+            # window ray batch (Renderer.py:137); under keyframe sharding
+            # the global max needs a collective
+            d_max = jnp.max(d_render)
+            if kf_axis is not None:
+                d_max = jax.lax.pmax(d_max, kf_axis)
             depth, var, color, _ = render_rays(
                 params, grids, o, d, stage=stage, model=model, rcfg=rcfg,
-                gt_depth=(d_render if use_depth else None), key=key)
+                gt_depth=(d_render if use_depth else None), key=key,
+                d_max=d_max)
             depth_mask = (dgt > 0) & inside
             loss = jnp.sum(jnp.where(depth_mask, jnp.abs(dgt - depth), 0.0))
             if (not nice) or stage == 'color':
@@ -228,13 +235,19 @@ def build_stage_losses(*, model: SceneModel, rcfg: RenderConfig,
                                           jnp.abs(cgt - color), 0.0))
                 loss = loss + mcfg.w_color_loss * col_l
             if not rcfg.occupancy:  # iMAP free-space regulation (:616-621)
-                k_reg = jax.random.fold_in(key, 7)
-                if kf_axis is not None:  # independent stream per shard
-                    k_reg = jax.random.fold_in(
-                        k_reg, jax.lax.axis_index(kf_axis))
-                sigma = regulation_sigma(
-                    params, grids, o, d, d_render, model=model, rcfg=rcfg,
-                    key=k_reg, stage=stage)
+                # per-FRAME keys (derived from frame_keys), so the
+                # keyframe-sharded step's regulation draws are identical
+                # to the replicated step's — same contract as the pixel
+                # draws (parallel/distributed.py)
+                reg_keys = jax.vmap(
+                    lambda kk: jax.random.fold_in(kk, 7))(frame_keys)
+                o_f = o.reshape(n_frames, pix_per_frame, 3)
+                d_f = d.reshape(n_frames, pix_per_frame, 3)
+                dr_f = d_render.reshape(n_frames, pix_per_frame)
+                sigma = jax.vmap(
+                    lambda oo, dd, rr, kk: regulation_sigma(
+                        params, grids, oo, dd, rr, model=model, rcfg=rcfg,
+                        key=kk, stage=stage))(o_f, d_f, dr_f, reg_keys)
                 loss = loss + 0.0005 * jnp.sum(jnp.abs(sigma))
             return loss
 

@@ -26,7 +26,9 @@ import numpy as np
 
 _MAGIC = 20000630
 _PIXEL_DTYPE = {1: np.dtype('<f2'), 2: np.dtype('<f4')}  # HALF, FLOAT
-_LINES_PER_CHUNK = {0: 1, 1: 1, 2: 1, 3: 16}             # NONE/RLE/ZIPS/ZIP
+# supported compressions only: NONE / ZIPS / ZIP (RLE=1, PIZ=4... are
+# rejected with an IOError at the header check)
+_LINES_PER_CHUNK = {0: 1, 2: 1, 3: 16}
 
 
 def _unpredict_and_interleave(data: bytes) -> np.ndarray:
@@ -139,12 +141,13 @@ def read_exr_depth(path: str) -> np.ndarray:
 
 
 def write_exr(path: str, channels: dict[str, np.ndarray],
-              compression: str = 'zip') -> None:
-    """Write float32 channels as a scanline EXR (ZIP or NONE)."""
+              compression: str = 'zip', half: bool = False) -> None:
+    """Write channels as a scanline EXR (ZIP or NONE; FLOAT or HALF)."""
     names = sorted(channels)
     h, w = channels[names[0]].shape
     comp = {'none': 0, 'zips': 2, 'zip': 3}[compression]
     lpc = _LINES_PER_CHUNK[comp]
+    ptype, pdt = (1, '<f2') if half else (2, '<f4')
 
     def attr(name, typ, data):
         return (name.encode() + b'\x00' + typ.encode() + b'\x00'
@@ -152,7 +155,7 @@ def write_exr(path: str, channels: dict[str, np.ndarray],
 
     chlist = b''
     for name in names:
-        chlist += (name.encode() + b'\x00' + struct.pack('<i', 2)
+        chlist += (name.encode() + b'\x00' + struct.pack('<i', ptype)
                    + b'\x00\x00\x00\x00' + struct.pack('<ii', 1, 1))
     chlist += b'\x00'
     box = struct.pack('<4i', 0, 0, w - 1, h - 1)
@@ -170,7 +173,7 @@ def write_exr(path: str, channels: dict[str, np.ndarray],
     for y0 in range(0, h, lpc):
         rows = min(lpc, h - y0)
         raw = b''.join(
-            channels[name][y0 + r].astype('<f4').tobytes()
+            channels[name][y0 + r].astype(pdt).tobytes()
             for r in range(rows) for name in names)
         if comp in (2, 3):
             payload = zlib.compress(

@@ -161,10 +161,22 @@ def mlp_apply(params: Params, cfg: DecoderConfig, p: jnp.ndarray,
     skips = cfg.skips if skips is None else skips
     embedded = _embed(params, cfg, p, color)
     h = embedded
+    fc_all = None
+    if c_feat is not None:
+        # c_feat is constant across blocks, so the five per-block feature
+        # injections `fc_c[i](c)` collapse into ONE wide matmul
+        # (hidden-32 K/N dims use ~1/16 of an MXU pass; batching the N
+        # axis 5x is the same math — identical per-column dot order —
+        # with far better utilization).
+        w_all = jnp.concatenate([l['w'] for l in params['fc_c']], axis=1)
+        b_all = jnp.concatenate([l['b'] for l in params['fc_c']])
+        fc_all = c_feat @ w_all + b_all
+        hidden = params['fc_c'][0]['w'].shape[1]
     for i, layer in enumerate(params['pts_linears']):
         h = jax.nn.relu(_dense(layer, h))
-        if c_feat is not None:
-            h = h + _dense(params['fc_c'][i], c_feat)
+        if fc_all is not None:
+            h = h + jax.lax.dynamic_slice_in_dim(
+                fc_all, i * hidden, hidden, axis=1)
         if i in skips:
             h = jnp.concatenate([embedded, h], axis=-1)
     out = _dense(params['out'], h)

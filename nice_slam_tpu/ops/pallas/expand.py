@@ -368,6 +368,9 @@ def _fold_call(de_flat: jnp.ndarray, shape: tuple[int, int, int],
     c8 = de_flat.shape[-1]
     c = c8 // 8
     p = ny * nz
+    if _plane_bytes(ny, nz, c) > _VMEM_LIMIT_BYTES:
+        return _fold_call_chunked(de_flat, shape, interpret,
+                                  _rows_per_chunk(ny, nz, c))
     d3 = de_flat.reshape(nx, p, c8)
     masks = jnp.asarray(_plane_masks(ny, nz))
     out = pl.pallas_call(

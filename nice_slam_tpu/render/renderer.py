@@ -119,21 +119,23 @@ def eval_raw(params: Any, grids: dict[str, jnp.ndarray] | None,
 def _z_values(key: jax.Array | None, rcfg: RenderConfig,
               rays_o: jnp.ndarray, rays_d: jnp.ndarray,
               gt_depth: jnp.ndarray | None, bound: jnp.ndarray,
-              stage: str) -> jnp.ndarray:
+              stage: str, d_max: jnp.ndarray | None = None) -> jnp.ndarray:
     """Sample depths along rays (Renderer.py:125-224).
 
     The coarse stage ignores sensor depth entirely (:125-126).
+    `d_max` overrides the batch depth maximum (sharded callers pass the
+    global value; see core.sampling.near_far_from_depth).
     Returns [N_rays, S] sorted, S = n_samples (+ n_surface with depth).
     """
     use_depth = gt_depth is not None and stage != 'coarse'
     near, far = near_far_from_depth(rays_o, rays_d, bound,
                                     gt_depth if use_depth else None,
-                                    grad_z=rcfg.grad_z)
+                                    grad_z=rcfg.grad_z, d_max=d_max)
     z_vals = stratified_z_vals(
         rcfg.n_samples, near, far, lindisp=rcfg.lindisp,
         perturb=rcfg.perturb, key=key)
     if use_depth and rcfg.n_surface > 0:
-        z_surf = surface_z_vals(rcfg.n_surface, gt_depth)
+        z_surf = surface_z_vals(rcfg.n_surface, gt_depth, d_max=d_max)
         # NOTE: a two-way rank merge (the inputs are each sorted) was
         # benchmarked at this shape and does NOT beat the lane sort on TPU
         # (scripts/studies/proto_merge.py: sort 0.55 ms vs merge 0.61 ms) —
@@ -146,7 +148,8 @@ def render_rays(params: Any, grids: dict[str, jnp.ndarray] | None,
                 rays_o: jnp.ndarray, rays_d: jnp.ndarray, *, stage: str,
                 model: SceneModel, rcfg: RenderConfig,
                 gt_depth: jnp.ndarray | None = None,
-                key: jax.Array | None = None):
+                key: jax.Array | None = None,
+                d_max: jnp.ndarray | None = None):
     """Render a batch of rays (Renderer.py:95-262).
 
     Args:
@@ -154,6 +157,7 @@ def render_rays(params: Any, grids: dict[str, jnp.ndarray] | None,
       gt_depth: [N] sensor depth or None (the coarse mapper passes None,
         Mapper.py:598-600).
       key: PRNG key, required when perturb>0 or stochastic n_importance.
+      d_max: batch depth-maximum override for sharded callers.
     Returns:
       (depth [N], depth_var [N], color [N, 3], weights [N, S]).
     """
@@ -161,7 +165,7 @@ def render_rays(params: Any, grids: dict[str, jnp.ndarray] | None,
     if key is not None:
         k_strat, k_imp = jax.random.split(key)
     z_vals = _z_values(k_strat, rcfg, rays_o, rays_d, gt_depth,
-                       model.bound, stage)
+                       model.bound, stage, d_max=d_max)
     pts = rays_o[..., None, :] + rays_d[..., None, :] * z_vals[..., :, None]
     n_rays, s = z_vals.shape
     raw = eval_raw(params, grids, pts.reshape(-1, 3), stage, model)

@@ -134,6 +134,11 @@ def test_exr_codec_roundtrip(tmp_path):
     p = str(tmp_path / 'raw.exr')
     write_exr(p, {'Y': noise}, compression='zip')
     np.testing.assert_array_equal(read_exr_depth(p), noise)
+    # HALF pixel type
+    p = str(tmp_path / 'half.exr')
+    write_exr(p, {'Y': img}, compression='zip', half=True)
+    np.testing.assert_array_equal(read_exr_depth(p),
+                                  img.astype(np.float16).astype(np.float32))
 
 
 def test_end_to_end_from_disk_replica_format(frames, tmp_path):

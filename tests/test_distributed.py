@@ -89,6 +89,57 @@ def test_kf_sharded_matches_replicated():
         assert frac > 0.999, (name, frac)
 
 
+def test_kf_sharded_imap_matches_replicated():
+    """iMAP mode under keyframe sharding: density rendering, importance
+    resampling and the free-space regulation (whose draws are per-frame
+    keyed) must also reproduce the replicated step."""
+    import jax.numpy as jnp
+    from nice_slam_tpu.core.cameras import Intrinsics
+    from nice_slam_tpu.engine.mapper import (
+        MapperConfig, lr_table, make_map_step, stage_schedule)
+    from nice_slam_tpu.models.decoders import (
+        DecoderConfig, init_imap_decoder)
+    from nice_slam_tpu.parallel.distributed import (
+        kf_mesh, make_kf_sharded_map_step, window_to_global)
+    from nice_slam_tpu.render.renderer import RenderConfig, SceneModel
+
+    dcfg = DecoderConfig(pos_embedding_method='nerf', imap_hidden=32,
+                         imap_blocks=2)
+    bound = jnp.asarray([[-2.0, 2.0], [-2.0, 2.0], [-2.0, 2.0]])
+    model = SceneModel(kind='imap', decoder=dcfg, bound=bound)
+    rcfg = RenderConfig(n_samples=8, n_surface=0, n_importance=4,
+                        occupancy=False, perturb=0.0)
+    mcfg = MapperConfig(pixels=32, iters=4, ba=True, window_size=4)
+    intr = Intrinsics(H=24, W=32, fx=16.0, fy=16.0, cx=15.5, cy=11.5)
+    key = jax.random.PRNGKey(3)
+    params = init_imap_decoder(key, dcfg)
+    rng = np.random.default_rng(1)
+    cams = jnp.asarray([[1.0, 0, 0, 0, 0.05 * i, 0, 0] for i in range(4)])
+    opt_params = {'cams': cams, 'grids': {}, 'dec': {'imap': params}}
+    colors = jnp.asarray(rng.random((4, 24, 32, 3)), jnp.float32)
+    depths = jnp.asarray(0.5 + rng.random((4, 24, 32)), jnp.float32)
+    lr_tab = jnp.asarray(lr_table(mcfg, 4, 1.0, False, True))
+    stage_idx = jnp.asarray(stage_schedule(mcfg, 4, False))
+    cam_mask = jnp.ones((4,)).at[0].set(0.0)
+
+    single = make_map_step(model=model, rcfg=rcfg, mcfg=mcfg, intr=intr,
+                           n_frames=4, n_iters=4, pix_per_frame=8)
+    mesh = kf_mesh(jax.devices()[:4])
+    sharded = make_kf_sharded_map_step(
+        mesh=mesh, model=model, rcfg=rcfg, mcfg=mcfg, intr=intr,
+        n_frames=4, n_iters=4, pix_per_frame=8)
+    out_s, _, loss_s = single(opt_params, {}, None, lr_tab, stage_idx,
+                              cam_mask, colors, depths, key)
+    c_g, d_g = window_to_global(mesh, np.asarray(colors),
+                                np.asarray(depths))
+    out_m, _, loss_m = sharded(opt_params, {}, None, lr_tab, stage_idx,
+                               cam_mask, c_g, d_g, key)
+    np.testing.assert_allclose(np.asarray(loss_m), np.asarray(loss_s),
+                               rtol=2e-4)
+    np.testing.assert_allclose(np.asarray(out_m['cams']),
+                               np.asarray(out_s['cams']), atol=1e-5)
+
+
 @pytest.mark.parametrize('mode,n_dev', [('kf', 4), ('rays', 4)])
 def test_engine_with_sharded_mapping(mode, n_dev, tmp_path):
     """Orchestrator integration: a full SLAM run with `parallel.map`
@@ -148,7 +199,11 @@ def test_two_process_kf_sharded_map(tmp_path):
 
     child = tmp_path / 'child.py'
     child.write_text(_CHILD.format(repo=REPO))
-    port = 12931
+    # hermetic coordinator port: bind an ephemeral one and release it
+    import socket
+    with socket.socket() as s:
+        s.bind(('localhost', 0))
+        port = s.getsockname()[1]
     env = dict(os.environ)
     env.pop('XLA_FLAGS', None)
     procs = [subprocess.Popen(

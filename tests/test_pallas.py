@@ -152,9 +152,18 @@ def test_vmem_dispatch_uses_chunked_path(monkeypatch):
     monkeypatch.setattr(E, '_VMEM_LIMIT_BYTES',
                         E._plane_bytes(2, shape[2], 8))
     assert E.pallas_expand_ok(shape, 8)
+    # spy: BOTH directions must actually take the chunked kernels (the
+    # backward fold is the mapping hot path the chunking exists for)
+    calls = []
+    real_e, real_f = E._expand_call_chunked, E._fold_call_chunked
+    monkeypatch.setattr(E, '_expand_call_chunked',
+                        lambda *a: calls.append('e') or real_e(*a))
+    monkeypatch.setattr(E, '_fold_call_chunked',
+                        lambda *a: calls.append('f') or real_f(*a))
     out = E.expand_grid_pallas(g, shape, True)
     np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
     got_grad = jax.grad(
         lambda g: jnp.vdot(E.expand_grid_pallas(g, shape, True), cot))(g)
     np.testing.assert_allclose(np.asarray(got_grad), np.asarray(want_grad),
                                atol=1e-5, rtol=1e-5)
+    assert 'e' in calls and 'f' in calls, calls
