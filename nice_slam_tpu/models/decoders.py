@@ -25,6 +25,7 @@ gain = sqrt(2) for relu layers and 1 for the linear output.
 
 from __future__ import annotations
 
+import contextlib
 import math
 from typing import Any, NamedTuple
 
@@ -54,6 +55,13 @@ class DecoderConfig(NamedTuple):
     # iMAP variant
     imap_hidden: int = 256
     imap_blocks: int = 4
+    # Matmul precision for the decoder MLP stack only (None = inherit the
+    # session default, which the orchestrator pins to 'float32' — 6-pass
+    # bf16 emulation on the MXU).  'BF16_BF16_F32_X3' cuts the MLP cost
+    # ~2x with ~f32 effective mantissa coverage; pose-critical math
+    # outside the decoders keeps the session default either way.  Config
+    # key: model.decoder_matmul_precision.
+    mm_precision: str | None = None
 
     def embed_dim(self, color: bool) -> int:
         if self.pos_embedding_method == 'fourier':
@@ -80,6 +88,17 @@ def _init_dense(key: jax.Array, in_dim: int, out_dim: int,
 
 def _dense(p: Params, x: jnp.ndarray) -> jnp.ndarray:
     return x @ p['w'] + p['b']
+
+
+def _prec_ctx(cfg: 'DecoderConfig'):
+    """Trace-time matmul-precision scope for the decoder stack.
+
+    jax.default_matmul_precision stamps the precision onto every dot
+    traced inside, including those replayed by the VJP, so the backward
+    matmuls get the same treatment."""
+    if cfg.mm_precision is None:
+        return contextlib.nullcontext()
+    return jax.default_matmul_precision(cfg.mm_precision)
 
 
 _RELU_GAIN = math.sqrt(2.0)
@@ -159,28 +178,29 @@ def mlp_apply(params: Params, cfg: DecoderConfig, p: jnp.ndarray,
       [N, 4] if color else [N].
     """
     skips = cfg.skips if skips is None else skips
-    embedded = _embed(params, cfg, p, color)
-    h = embedded
-    fc_all = None
-    if c_feat is not None:
-        # c_feat is constant across blocks, so the five per-block feature
-        # injections `fc_c[i](c)` collapse into ONE wide matmul
-        # (hidden-32 K/N dims use ~1/16 of an MXU pass; batching the N
-        # axis 5x is the same math — identical per-column dot order —
-        # with far better utilization).
-        w_all = jnp.concatenate([l['w'] for l in params['fc_c']], axis=1)
-        b_all = jnp.concatenate([l['b'] for l in params['fc_c']])
-        fc_all = c_feat @ w_all + b_all
-        hidden = params['fc_c'][0]['w'].shape[1]
-    for i, layer in enumerate(params['pts_linears']):
-        h = jax.nn.relu(_dense(layer, h))
-        if fc_all is not None:
-            h = h + jax.lax.dynamic_slice_in_dim(
-                fc_all, i * hidden, hidden, axis=1)
-        if i in skips:
-            h = jnp.concatenate([embedded, h], axis=-1)
-    out = _dense(params['out'], h)
-    return out if color else out[..., 0]
+    with _prec_ctx(cfg):
+        embedded = _embed(params, cfg, p, color)
+        h = embedded
+        fc_all = None
+        if c_feat is not None:
+            # c_feat is constant across blocks, so the five per-block
+            # feature injections `fc_c[i](c)` collapse into ONE wide matmul
+            # (hidden-32 K/N dims use ~1/16 of an MXU pass; batching the N
+            # axis 5x is the same math — identical per-column dot order —
+            # with far better utilization).
+            w_all = jnp.concatenate([l['w'] for l in params['fc_c']], axis=1)
+            b_all = jnp.concatenate([l['b'] for l in params['fc_c']])
+            fc_all = c_feat @ w_all + b_all
+            hidden = params['fc_c'][0]['w'].shape[1]
+        for i, layer in enumerate(params['pts_linears']):
+            h = jax.nn.relu(_dense(layer, h))
+            if fc_all is not None:
+                h = h + jax.lax.dynamic_slice_in_dim(
+                    fc_all, i * hidden, hidden, axis=1)
+            if i in skips:
+                h = jnp.concatenate([embedded, h], axis=-1)
+        out = _dense(params['out'], h)
+        return out if color else out[..., 0]
 
 
 def init_mlp_no_xyz(key: jax.Array, cfg: DecoderConfig, *, color: bool = False
@@ -202,13 +222,14 @@ def mlp_no_xyz_apply(params: Params, cfg: DecoderConfig,
                      c_feat: jnp.ndarray, *, color: bool = False
                      ) -> jnp.ndarray:
     """Forward pass of `MLP_no_xyz` (decoder.py:285-297)."""
-    h = c_feat
-    for i, layer in enumerate(params['pts_linears']):
-        h = jax.nn.relu(_dense(layer, h))
-        if i in cfg.skips:
-            h = jnp.concatenate([c_feat, h], axis=-1)
-    out = _dense(params['out'], h)
-    return out if color else out[..., 0]
+    with _prec_ctx(cfg):
+        h = c_feat
+        for i, layer in enumerate(params['pts_linears']):
+            h = jax.nn.relu(_dense(layer, h))
+            if i in cfg.skips:
+                h = jnp.concatenate([c_feat, h], axis=-1)
+        out = _dense(params['out'], h)
+        return out if color else out[..., 0]
 
 
 # ---------------------------------------------------------------------------

@@ -148,21 +148,30 @@ def _plane_bytes(ny: int, nz: int, c: int) -> int:
     return 4 * p * 7 * (8 * c)
 
 
+def _align_lines(nz: int) -> int:
+    """Smallest y-line count H with H*nz divisible by 8 (Mosaic requires
+    sublane block extents divisible by 8); chunk sizes and halo blocks are
+    H-line multiples."""
+    import math as _math
+    return 8 // _math.gcd(nz, 8)
+
+
 def _rows_per_chunk(ny: int, nz: int, c: int) -> int:
-    """y-lines per chunk for the chunked kernels (largest count whose
-    VMEM estimate fits)."""
-    by = ny
-    while by > 1 and _plane_bytes(by, nz, c) > _VMEM_LIMIT_BYTES:
-        by = (by + 1) // 2
+    """y-lines per chunk for the chunked kernels: the largest H-aligned
+    count whose VMEM estimate fits (minimum one alignment unit)."""
+    h = _align_lines(nz)
+    by = -(-ny // h) * h
+    while by > h and _plane_bytes(by, nz, c) > _VMEM_LIMIT_BYTES:
+        by = -(-(by // 2) // h) * h
     return by
 
 
 def pallas_expand_ok(shape: tuple[int, int, int], c: int) -> bool:
     """Whether the streaming kernels can run: large planes are chunked
-    along y (halo = one y-line), so only a single y-line overflowing VMEM
-    forces the XLA fallback."""
+    along y (halo = one H-line-aligned block), so only a single alignment
+    unit overflowing VMEM forces the XLA fallback."""
     nx, ny, nz = shape
-    return _plane_bytes(1, nz, c) <= _VMEM_LIMIT_BYTES
+    return _plane_bytes(_align_lines(nz), nz, c) <= _VMEM_LIMIT_BYTES
 
 
 # ---------------------------------------------------------------------------
@@ -181,6 +190,9 @@ def _row_coords(by: int, nz: int, j, ny: int):
 
 def _expand_kernel_chunked(nz: int, ny: int, by: int, cur_ref, curh_ref,
                            nxt_ref, nxth_ref, out_ref):
+    # halo refs hold an H-line-aligned block whose FIRST y-line is the
+    # first line of chunk j+1 (H = _align_lines(nz); Mosaic needs halo
+    # block extents divisible by 8 in the sublane dim).
     j = pl.program_id(1)
     cur = cur_ref[0]
     nxt = nxt_ref[0]
@@ -197,7 +209,7 @@ def _expand_kernel_chunked(nz: int, ny: int, by: int, cur_ref, curh_ref,
         return jnp.where(ylast, v, shifted)
 
     blocks = []
-    for base, halo in ((cur, curh_ref[0]), (nxt, nxth_ref[0])):
+    for base, halo in ((cur, curh_ref[0][:nz]), (nxt, nxth_ref[0][:nz])):
         for byv in (base, sy(base, halo)):
             blocks.append(byv)
             blocks.append(sz(byv))
@@ -205,11 +217,16 @@ def _expand_kernel_chunked(nz: int, ny: int, by: int, cur_ref, curh_ref,
 
 
 def _fold_kernel_chunked(nz: int, c: int, nx: int, ny: int, by: int,
-                         cur_ref, curh_ref, prv_ref, prvh_ref, out_ref):
+                         h: int, cur_ref, curh_ref, prv_ref, prvh_ref,
+                         out_ref):
+    # halo refs hold an H-line-aligned block whose LAST y-line is the last
+    # line of chunk j-1 (h = _align_lines(nz)).
     x = pl.program_id(0)
     j = pl.program_id(1)
     cur = cur_ref[0]
     prv = prv_ref[0]
+    cur_halo = curh_ref[0][(h - 1) * nz:]
+    prv_halo = prvh_ref[0][(h - 1) * nz:]
     zlast, ylast = _row_coords(by, nz, j, ny)
     zl = zlast.astype(cur.dtype)
     yl = ylast.astype(cur.dtype)
@@ -245,13 +262,13 @@ def _fold_kernel_chunked(nz: int, c: int, nx: int, ny: int, by: int,
             w = syT(w, hh)
         return w
 
-    acc = (corner(cur, curh_ref[0], 0) + corner(cur, curh_ref[0], 1)
-           + corner(cur, curh_ref[0], 2) + corner(cur, curh_ref[0], 3))
-    from_prev = (corner(prv, prvh_ref[0], 4) + corner(prv, prvh_ref[0], 5)
-                 + corner(prv, prvh_ref[0], 6) + corner(prv, prvh_ref[0], 7))
+    acc = (corner(cur, cur_halo, 0) + corner(cur, cur_halo, 1)
+           + corner(cur, cur_halo, 2) + corner(cur, cur_halo, 3))
+    from_prev = (corner(prv, prv_halo, 4) + corner(prv, prv_halo, 5)
+                 + corner(prv, prv_halo, 6) + corner(prv, prv_halo, 7))
     acc = acc + jnp.where(x > 0, 1.0, 0.0) * from_prev
-    from_self = (corner(cur, curh_ref[0], 4) + corner(cur, curh_ref[0], 5)
-                 + corner(cur, curh_ref[0], 6) + corner(cur, curh_ref[0], 7))
+    from_self = (corner(cur, cur_halo, 4) + corner(cur, cur_halo, 5)
+                 + corner(cur, cur_halo, 6) + corner(cur, cur_halo, 7))
     acc = acc + jnp.where(x == nx - 1, 1.0, 0.0) * from_self
     out_ref[0] = acc
 
@@ -268,8 +285,11 @@ def _pad_y(a3: jnp.ndarray, ny: int, nz: int, by: int) -> tuple:
 def _expand_call_chunked(grid_flat, shape, interpret, by):
     nx, ny, nz = shape
     c = grid_flat.shape[-1]
+    h = _align_lines(nz)
+    assert by % h == 0, (by, h)
     g3, ny_p = _pad_y(grid_flat.reshape(nx, ny * nz, c), ny, nz, by)
     n_chunks = ny_p // by
+    n_hblocks = ny_p // h
     out = pl.pallas_call(
         functools.partial(_expand_kernel_chunked, nz, ny, by),
         out_shape=jax.ShapeDtypeStruct((nx, ny_p * nz, 8 * c),
@@ -278,19 +298,20 @@ def _expand_call_chunked(grid_flat, shape, interpret, by):
         in_specs=[
             pl.BlockSpec((1, by * nz, c), lambda i, j: (i, j, 0),
                          memory_space=pltpu.VMEM),
-            # first y-line of chunk j+1 (clamped at the padded top)
-            pl.BlockSpec((1, nz, c),
-                         lambda i, j, ny_p=ny_p: (
-                             i, jnp.minimum((j + 1) * by, ny_p - 1), 0),
+            # H-line block whose first line is chunk j+1's first y-line
+            # (clamped at the padded top; unused there)
+            pl.BlockSpec((1, h * nz, c),
+                         lambda i, j, nb=n_hblocks: (
+                             i, jnp.minimum((j + 1) * by // h, nb - 1), 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, by * nz, c),
                          lambda i, j, nx=nx: (jnp.minimum(i + 1, nx - 1),
                                               j, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, nz, c),
-                         lambda i, j, nx=nx, ny_p=ny_p: (
+            pl.BlockSpec((1, h * nz, c),
+                         lambda i, j, nx=nx, nb=n_hblocks: (
                              jnp.minimum(i + 1, nx - 1),
-                             jnp.minimum((j + 1) * by, ny_p - 1), 0),
+                             jnp.minimum((j + 1) * by // h, nb - 1), 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, by * nz, 8 * c), lambda i, j: (i, j, 0),
@@ -304,25 +325,29 @@ def _fold_call_chunked(de_flat, shape, interpret, by):
     nx, ny, nz = shape
     c8 = de_flat.shape[-1]
     c = c8 // 8
+    h = _align_lines(nz)
+    assert by % h == 0, (by, h)
     d3, ny_p = _pad_y(de_flat.reshape(nx, ny * nz, c8), ny, nz, by)
     n_chunks = ny_p // by
     out = pl.pallas_call(
-        functools.partial(_fold_kernel_chunked, nz, c, nx, ny, by),
+        functools.partial(_fold_kernel_chunked, nz, c, nx, ny, by, h),
         out_shape=jax.ShapeDtypeStruct((nx, ny_p * nz, c), de_flat.dtype),
         grid=(nx, n_chunks),
         in_specs=[
             pl.BlockSpec((1, by * nz, c8), lambda i, j: (i, j, 0),
                          memory_space=pltpu.VMEM),
-            # last y-line of chunk j-1 (kernel zeroes it at j == 0)
-            pl.BlockSpec((1, nz, c8),
-                         lambda i, j: (i, jnp.maximum(j * by - 1, 0), 0),
+            # H-line block whose last line is chunk j-1's last y-line
+            # (kernel zeroes it at j == 0)
+            pl.BlockSpec((1, h * nz, c8),
+                         lambda i, j: (i, jnp.maximum(j * by // h - 1, 0),
+                                       0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, by * nz, c8),
                          lambda i, j: (jnp.maximum(i - 1, 0), j, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, nz, c8),
+            pl.BlockSpec((1, h * nz, c8),
                          lambda i, j: (jnp.maximum(i - 1, 0),
-                                       jnp.maximum(j * by - 1, 0), 0),
+                                       jnp.maximum(j * by // h - 1, 0), 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, by * nz, c), lambda i, j: (i, j, 0),

@@ -98,6 +98,7 @@ def decoder_config_from_cfg(cfg: dict) -> DecoderConfig:
         c_dim=int(cfg['model']['c_dim']),
         pos_embedding_method=cfg['model']['pos_embedding_method'],
         coarse=bool(cfg['coarse']),
+        mm_precision=cfg['model'].get('decoder_matmul_precision'),
     )
 
 

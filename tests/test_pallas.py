@@ -98,16 +98,21 @@ def test_expand_pallas_fold_matches_xla_grad(shape):
 
 # ---------------------------------------------------------------------------
 # chunked variants (planes larger than VMEM split along y; halo = one
-# y-line).  Forced small chunk sizes cover: by dividing ny, by not
-# dividing ny (zero-padding path), and by == 1.
+# H-line-aligned block, H = _align_lines(nz) so Mosaic's sublane-extent
+# divisibility holds on real TPU).  Cases cover: by dividing ny, by not
+# dividing ny (zero-padding path), by == 1 (nz % 8 == 0), single padded
+# chunk (h > ny), and the TUM fr1/desk fine-grid shape that triggered the
+# round-2 Mosaic block-shape rejection (nz = 38 -> H = 4, by = 20).
 # ---------------------------------------------------------------------------
 
 from nice_slam_tpu.ops.pallas.expand import (
     _expand_call_chunked, _fold_call_chunked)
 
+_CHUNK_CASES = [((4, 6, 3), 8), ((4, 7, 8), 3), ((3, 5, 4), 2),
+                ((3, 5, 8), 1), ((3, 9, 4), 4), ((5, 38, 38), 20)]
 
-@pytest.mark.parametrize('shape,by', [((4, 6, 3), 2), ((4, 7, 3), 3),
-                                      ((3, 5, 4), 1), ((2, 4, 3), 4)])
+
+@pytest.mark.parametrize('shape,by', _CHUNK_CASES)
 def test_expand_chunked_matches_xla(shape, by):
     nx, ny, nz = shape
     m = nx * ny * nz
@@ -118,8 +123,7 @@ def test_expand_chunked_matches_xla(shape, by):
     np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
 
 
-@pytest.mark.parametrize('shape,by', [((4, 6, 3), 2), ((4, 7, 3), 3),
-                                      ((3, 5, 4), 1), ((2, 4, 3), 4)])
+@pytest.mark.parametrize('shape,by', _CHUNK_CASES)
 def test_fold_chunked_matches_xla_transpose(shape, by):
     nx, ny, nz = shape
     m = nx * ny * nz
