@@ -35,7 +35,7 @@ from nice_slam_tpu.core.cameras import Intrinsics, c2w_from_tensor, rays_from_uv
 from nice_slam_tpu.core.sampling import (
     gather_pixels, ray_bound_exit, sample_pixels)
 from nice_slam_tpu.render.renderer import (
-    RenderConfig, SceneModel, regulation_sigma, render_rays)
+    RenderConfig, SceneModel, regulation_sigma_batched, render_rays)
 from nice_slam_tpu.utils.optim import adam_init, adam_update
 
 # learning-rate table columns
@@ -241,13 +241,12 @@ def build_stage_losses(*, model: SceneModel, rcfg: RenderConfig,
                 # draws (parallel/distributed.py)
                 reg_keys = jax.vmap(
                     lambda kk: jax.random.fold_in(kk, 7))(frame_keys)
-                o_f = o.reshape(n_frames, pix_per_frame, 3)
-                d_f = d.reshape(n_frames, pix_per_frame, 3)
-                dr_f = d_render.reshape(n_frames, pix_per_frame)
-                sigma = jax.vmap(
-                    lambda oo, dd, rr, kk: regulation_sigma(
-                        params, grids, oo, dd, rr, model=model, rcfg=rcfg,
-                        key=kk, stage=stage))(o_f, d_f, dr_f, reg_keys)
+                sigma = regulation_sigma_batched(
+                    params, grids,
+                    o.reshape(n_frames, pix_per_frame, 3),
+                    d.reshape(n_frames, pix_per_frame, 3),
+                    d_render.reshape(n_frames, pix_per_frame),
+                    model=model, rcfg=rcfg, keys=reg_keys, stage=stage)
                 loss = loss + 0.0005 * jnp.sum(jnp.abs(sigma))
             return loss
 

@@ -156,22 +156,29 @@ def _align_lines(nz: int) -> int:
     return 8 // _math.gcd(nz, 8)
 
 
+def _chunk_bytes(by: int, nz: int, c: int) -> int:
+    """VMEM model for the CHUNKED fold kernel: the 7-width plane model
+    plus two extra full-chunk 8C halo blocks."""
+    return 4 * by * nz * 9 * (8 * c)
+
+
 def _rows_per_chunk(ny: int, nz: int, c: int) -> int:
     """y-lines per chunk for the chunked kernels: the largest H-aligned
-    count whose VMEM estimate fits (minimum one alignment unit)."""
+    count whose VMEM estimate fits (minimum one alignment unit;
+    H = _align_lines(nz) keeps Mosaic's sublane-extent rule)."""
     h = _align_lines(nz)
     by = -(-ny // h) * h
-    while by > h and _plane_bytes(by, nz, c) > _VMEM_LIMIT_BYTES:
+    while by > h and _chunk_bytes(by, nz, c) > _VMEM_LIMIT_BYTES:
         by = -(-(by // 2) // h) * h
     return by
 
 
 def pallas_expand_ok(shape: tuple[int, int, int], c: int) -> bool:
     """Whether the streaming kernels can run: large planes are chunked
-    along y (halo = one H-line-aligned block), so only a single alignment
+    along y (halo = the neighbouring chunk), so only a single alignment
     unit overflowing VMEM forces the XLA fallback."""
     nx, ny, nz = shape
-    return _plane_bytes(_align_lines(nz), nz, c) <= _VMEM_LIMIT_BYTES
+    return _chunk_bytes(_align_lines(nz), nz, c) <= _VMEM_LIMIT_BYTES
 
 
 # ---------------------------------------------------------------------------
@@ -190,26 +197,29 @@ def _row_coords(by: int, nz: int, j, ny: int):
 
 def _expand_kernel_chunked(nz: int, ny: int, by: int, cur_ref, curh_ref,
                            nxt_ref, nxth_ref, out_ref):
-    # halo refs hold an H-line-aligned block whose FIRST y-line is the
-    # first line of chunk j+1 (H = _align_lines(nz); Mosaic needs halo
-    # block extents divisible by 8 in the sublane dim).
+    # Halo refs hold the NEXT y-chunk of the plane (block index clamped at
+    # the top); only its first y-line is consumed — via a circular roll,
+    # because Mosaic cannot concatenate vectors whose internal sublane/
+    # lane offsets disagree (round-2 TUM failure: concat of a 38-row halo
+    # with an offset-6 722-row slice).
     j = pl.program_id(1)
     cur = cur_ref[0]
     nxt = nxt_ref[0]
     zlast, ylast = _row_coords(by, nz, j, ny)
+    n = by * nz
+    rows = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)
 
     def sz(v):
-        return jnp.where(zlast, v, _shift_up(v, 1))
+        # row z+1 within the y-line; the wrap row always has z == nz-1
+        return jnp.where(zlast, v, pltpu.roll(v, n - 1, 0))
 
     def sy(v, halo):
-        if by == 1:
-            shifted = halo
-        else:
-            shifted = jnp.concatenate([v[nz:], halo], axis=0)
+        shifted = jnp.where(rows < n - nz, pltpu.roll(v, n - nz, 0),
+                            pltpu.roll(halo, n - nz, 0))
         return jnp.where(ylast, v, shifted)
 
     blocks = []
-    for base, halo in ((cur, curh_ref[0][:nz]), (nxt, nxth_ref[0][:nz])):
+    for base, halo in ((cur, curh_ref[0]), (nxt, nxth_ref[0])):
         for byv in (base, sy(base, halo)):
             blocks.append(byv)
             blocks.append(sz(byv))
@@ -217,32 +227,31 @@ def _expand_kernel_chunked(nz: int, ny: int, by: int, cur_ref, curh_ref,
 
 
 def _fold_kernel_chunked(nz: int, c: int, nx: int, ny: int, by: int,
-                         h: int, cur_ref, curh_ref, prv_ref, prvh_ref,
-                         out_ref):
-    # halo refs hold an H-line-aligned block whose LAST y-line is the last
-    # line of chunk j-1 (h = _align_lines(nz)).
+                         cur_ref, curh_ref, prv_ref, prvh_ref, out_ref):
+    # Halo refs hold the PREVIOUS y-chunk of the corresponding plane
+    # (block index clamped at 0; kernel zeroes its contribution at
+    # j == 0); only its last y-line is consumed, via a circular roll.
     x = pl.program_id(0)
     j = pl.program_id(1)
     cur = cur_ref[0]
     prv = prv_ref[0]
-    cur_halo = curh_ref[0][(h - 1) * nz:]
-    prv_halo = prvh_ref[0][(h - 1) * nz:]
     zlast, ylast = _row_coords(by, nz, j, ny)
     zl = zlast.astype(cur.dtype)
     yl = ylast.astype(cur.dtype)
+    n = by * nz
+    rows = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)
+    jgate = jnp.where(j > 0, 1.0, 0.0).astype(cur.dtype)
 
     def szT(w):
         return zl * w + _shift_down((1.0 - zl) * w, 1)
 
-    def syT(w, halo):
+    def syT(w, hw):
         # transpose of sy: out[y] += w[y-1]; the y==ny-1 line additionally
         # keeps its own (clamped) contribution.  The y-1 line of this
-        # chunk's first row lives in chunk j-1 (the halo; its y can never
-        # be ny-1, and there is none at j == 0).
-        head = jnp.where(j > 0, halo, 0.0)
-        body = ((1.0 - yl) * w)[:-nz] if by > 1 else None
-        shifted = head if body is None else jnp.concatenate(
-            [head, body], axis=0)
+        # chunk's first row is the halo chunk's last line (rolled to the
+        # head; its y can never be ny-1, and there is none at j == 0).
+        shifted = jnp.where(rows < nz, jgate * pltpu.roll(hw, nz, 0),
+                            pltpu.roll((1.0 - yl) * w, nz, 0))
         return yl * w + shifted
 
     def corner(plane, halo, k):
@@ -252,23 +261,25 @@ def _fold_kernel_chunked(nz: int, c: int, nx: int, ny: int, by: int,
         if dz:
             w = szT(w)
         if dy:
-            # the halo line feeds syT's head and must carry the same
-            # z-transpose as the body (szT acts within a y-line)
+            # the halo chunk feeds syT's head and must carry the same
+            # z-transpose as the body (szT acts within a y-line; the
+            # halo chunk has the identical z layout, and its own head
+            # row — zeroed by _shift_down — is never consumed)
             hh = halo[:, k * c:(k + 1) * c]
             if dz:
-                hzl = (jax.lax.broadcasted_iota(jnp.int32, (nz, 1), 0)
-                       == nz - 1).astype(plane.dtype)
-                hh = hzl * hh + _shift_down((1.0 - hzl) * hh, 1)
+                hh = szT(hh)
             w = syT(w, hh)
         return w
 
-    acc = (corner(cur, cur_halo, 0) + corner(cur, cur_halo, 1)
-           + corner(cur, cur_halo, 2) + corner(cur, cur_halo, 3))
-    from_prev = (corner(prv, prv_halo, 4) + corner(prv, prv_halo, 5)
-                 + corner(prv, prv_halo, 6) + corner(prv, prv_halo, 7))
+    ch = curh_ref[0]
+    ph = prvh_ref[0]
+    acc = (corner(cur, ch, 0) + corner(cur, ch, 1)
+           + corner(cur, ch, 2) + corner(cur, ch, 3))
+    from_prev = (corner(prv, ph, 4) + corner(prv, ph, 5)
+                 + corner(prv, ph, 6) + corner(prv, ph, 7))
     acc = acc + jnp.where(x > 0, 1.0, 0.0) * from_prev
-    from_self = (corner(cur, cur_halo, 4) + corner(cur, cur_halo, 5)
-                 + corner(cur, cur_halo, 6) + corner(cur, cur_halo, 7))
+    from_self = (corner(cur, ch, 4) + corner(cur, ch, 5)
+                 + corner(cur, ch, 6) + corner(cur, ch, 7))
     acc = acc + jnp.where(x == nx - 1, 1.0, 0.0) * from_self
     out_ref[0] = acc
 
@@ -285,11 +296,9 @@ def _pad_y(a3: jnp.ndarray, ny: int, nz: int, by: int) -> tuple:
 def _expand_call_chunked(grid_flat, shape, interpret, by):
     nx, ny, nz = shape
     c = grid_flat.shape[-1]
-    h = _align_lines(nz)
-    assert by % h == 0, (by, h)
+    assert by % _align_lines(nz) == 0, (by, nz)
     g3, ny_p = _pad_y(grid_flat.reshape(nx, ny * nz, c), ny, nz, by)
     n_chunks = ny_p // by
-    n_hblocks = ny_p // h
     out = pl.pallas_call(
         functools.partial(_expand_kernel_chunked, nz, ny, by),
         out_shape=jax.ShapeDtypeStruct((nx, ny_p * nz, 8 * c),
@@ -298,20 +307,19 @@ def _expand_call_chunked(grid_flat, shape, interpret, by):
         in_specs=[
             pl.BlockSpec((1, by * nz, c), lambda i, j: (i, j, 0),
                          memory_space=pltpu.VMEM),
-            # H-line block whose first line is chunk j+1's first y-line
-            # (clamped at the padded top; unused there)
-            pl.BlockSpec((1, h * nz, c),
-                         lambda i, j, nb=n_hblocks: (
-                             i, jnp.minimum((j + 1) * by // h, nb - 1), 0),
+            # next y-chunk (first line consumed; clamped at the top)
+            pl.BlockSpec((1, by * nz, c),
+                         lambda i, j, nc=n_chunks: (
+                             i, jnp.minimum(j + 1, nc - 1), 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, by * nz, c),
                          lambda i, j, nx=nx: (jnp.minimum(i + 1, nx - 1),
                                               j, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, h * nz, c),
-                         lambda i, j, nx=nx, nb=n_hblocks: (
+            pl.BlockSpec((1, by * nz, c),
+                         lambda i, j, nx=nx, nc=n_chunks: (
                              jnp.minimum(i + 1, nx - 1),
-                             jnp.minimum((j + 1) * by // h, nb - 1), 0),
+                             jnp.minimum(j + 1, nc - 1), 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, by * nz, 8 * c), lambda i, j: (i, j, 0),
@@ -325,29 +333,26 @@ def _fold_call_chunked(de_flat, shape, interpret, by):
     nx, ny, nz = shape
     c8 = de_flat.shape[-1]
     c = c8 // 8
-    h = _align_lines(nz)
-    assert by % h == 0, (by, h)
+    assert by % _align_lines(nz) == 0, (by, nz)
     d3, ny_p = _pad_y(de_flat.reshape(nx, ny * nz, c8), ny, nz, by)
     n_chunks = ny_p // by
     out = pl.pallas_call(
-        functools.partial(_fold_kernel_chunked, nz, c, nx, ny, by, h),
+        functools.partial(_fold_kernel_chunked, nz, c, nx, ny, by),
         out_shape=jax.ShapeDtypeStruct((nx, ny_p * nz, c), de_flat.dtype),
         grid=(nx, n_chunks),
         in_specs=[
             pl.BlockSpec((1, by * nz, c8), lambda i, j: (i, j, 0),
                          memory_space=pltpu.VMEM),
-            # H-line block whose last line is chunk j-1's last y-line
-            # (kernel zeroes it at j == 0)
-            pl.BlockSpec((1, h * nz, c8),
-                         lambda i, j: (i, jnp.maximum(j * by // h - 1, 0),
-                                       0),
+            # previous y-chunk (last line consumed; zeroed at j == 0)
+            pl.BlockSpec((1, by * nz, c8),
+                         lambda i, j: (i, jnp.maximum(j - 1, 0), 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, by * nz, c8),
                          lambda i, j: (jnp.maximum(i - 1, 0), j, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, h * nz, c8),
+            pl.BlockSpec((1, by * nz, c8),
                          lambda i, j: (jnp.maximum(i - 1, 0),
-                                       jnp.maximum(j * by // h - 1, 0), 0),
+                                       jnp.maximum(j - 1, 0), 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, by * nz, c), lambda i, j: (i, j, 0),

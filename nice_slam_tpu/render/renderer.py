@@ -265,3 +265,31 @@ def regulation_sigma(params: Any, grids: dict[str, jnp.ndarray] | None,
     pts = rays_o[..., None, :] + rays_d[..., None, :] * z_vals[..., :, None]
     raw = eval_raw(params, grids, pts.reshape(-1, 3), stage, model)
     return raw[:, 3]
+
+
+def regulation_sigma_batched(params: Any,
+                             grids: dict[str, jnp.ndarray] | None,
+                             rays_o: jnp.ndarray, rays_d: jnp.ndarray,
+                             gt_depth: jnp.ndarray, *, model: SceneModel,
+                             rcfg: RenderConfig, keys: jax.Array,
+                             stage: str = 'color') -> jnp.ndarray:
+    """Per-frame regulation with one FLAT decoder call.
+
+    Args have a leading frame axis: rays_o/rays_d [F, P, 3], gt_depth
+    [F, P], keys [F] (one PRNG stream per frame — the contract the
+    keyframe-sharded mapper relies on for draw parity).  Only the cheap
+    stratified draw is vmapped; the hidden-256 decode runs as a single
+    [F*P*S, 3] batch, which keeps the MXU on one large matmul instead of
+    F smaller ones.  Returns sigma [F * P * n_samples].
+    """
+    f, p = gt_depth.shape
+
+    def draw(dd, kk):
+        d = dd.reshape(-1, 1)
+        return stratified_z_vals(rcfg.n_samples, jnp.zeros_like(d),
+                                 d * 0.85, perturb=1.0, key=kk)
+
+    z_vals = jax.vmap(draw)(gt_depth, keys)              # [F, P, S]
+    pts = rays_o[..., None, :] + rays_d[..., None, :] * z_vals[..., :, None]
+    raw = eval_raw(params, grids, pts.reshape(-1, 3), stage, model)
+    return raw[:, 3]

@@ -33,6 +33,16 @@ def enable(cache_dir: str | None = None) -> str:
         platform = jax.default_backend()
     except Exception:
         platform = 'unknown'
+    if platform == 'tpu' and not os.environ.get('NSTPU_PERSIST_TPU_CACHE'):
+        # MEASURED (round 2): on the remote-compile TPU stack, LOADING a
+        # cached executable is pathological — a persistent-cache HIT took
+        # 490 s (then hung entirely on a later run) vs 62 s for the cold
+        # compile of the same program, and the hang surfaces as a spurious
+        # 'TPU device error / UNAVAILABLE'.  Until executable
+        # deserialization works on this stack, the persistent cache is
+        # disabled for the TPU backend (in-process jit caching still
+        # applies); set NSTPU_PERSIST_TPU_CACHE=1 to force it back on.
+        return ''
     cache_dir = os.path.join(cache_dir, platform)
     os.makedirs(cache_dir, exist_ok=True)
     jax.config.update('jax_compilation_cache_dir', cache_dir)

@@ -49,6 +49,26 @@ def test_typed_views():
     assert rcfg.occupancy and rcfg.n_samples == 32
 
 
+def test_decoder_matmul_precision_plumbs():
+    from nice_slam_tpu.utils.config import decoder_config_from_cfg
+    cfg = load_config('configs/Replica/room0.yaml', 'configs/nice_slam.yaml')
+    assert decoder_config_from_cfg(cfg).mm_precision is None  # default
+    cfg['model']['decoder_matmul_precision'] = 'BF16_BF16_F32_X3'
+    dcfg = decoder_config_from_cfg(cfg)
+    assert dcfg.mm_precision == 'BF16_BF16_F32_X3'
+    # the precision scope must not break forward or grad
+    import jax
+    import jax.numpy as jnp
+    from nice_slam_tpu.models.decoders import imap_eval, init_imap_decoder
+    dcfg = dcfg._replace(pos_embedding_method='nerf')
+    params = init_imap_decoder(jax.random.PRNGKey(0), dcfg)
+    x = jax.random.normal(jax.random.PRNGKey(1), (8, 3))
+    out = imap_eval(params, x, dcfg)
+    assert out.shape == (8, 4)
+    g = jax.grad(lambda p: imap_eval(p, x, dcfg).sum())(params)
+    assert jnp.isfinite(g['out']['w']).all()
+
+
 def test_tum_crop_and_resize_intrinsics():
     cfg = load_config('configs/TUM_RGBD/freiburg1_desk.yaml',
                       'configs/nice_slam.yaml')

@@ -154,7 +154,7 @@ def test_vmem_dispatch_uses_chunked_path(monkeypatch):
         lambda g: jnp.vdot(expand_grid_xla(g, shape).e, cot))(g)
 
     monkeypatch.setattr(E, '_VMEM_LIMIT_BYTES',
-                        E._plane_bytes(2, shape[2], 8))
+                        E._chunk_bytes(2, shape[2], 8))
     assert E.pallas_expand_ok(shape, 8)
     # spy: BOTH directions must actually take the chunked kernels (the
     # backward fold is the mapping hot path the chunking exists for)
