@@ -62,10 +62,16 @@ def ray_bound_exit(rays_o: jnp.ndarray, rays_d: jnp.ndarray,
 
 def stratified_z_vals(n_samples: int, near: jnp.ndarray, far: jnp.ndarray,
                       *, lindisp: bool = False, perturb: float = 0.0,
-                      key: jax.Array | None = None) -> jnp.ndarray:
+                      key: jax.Array | None = None,
+                      ray_keys: jax.Array | None = None) -> jnp.ndarray:
     """Evenly spaced samples in [near, far] (optionally jittered).
 
     near/far broadcast against [N_rays, 1] (reference Renderer.py:203-219).
+    `ray_keys` ([N_rays] key array) draws the jitter with one independent
+    stream PER RAY instead of one batch draw from `key` — the draw is then
+    invariant to how the ray batch is split across devices (the
+    keyframe-sharded mapper derives ray keys from globally indexed
+    per-frame streams; parallel/distributed.py).
     Returns [N_rays, n_samples].
     """
     t_vals = jnp.linspace(0.0, 1.0, n_samples)
@@ -74,11 +80,16 @@ def stratified_z_vals(n_samples: int, near: jnp.ndarray, far: jnp.ndarray,
     else:
         z_vals = 1.0 / (1.0 / near * (1.0 - t_vals) + 1.0 / far * t_vals)
     if perturb > 0.0:
-        assert key is not None, "perturb>0 requires a PRNG key"
+        assert key is not None or ray_keys is not None, \
+            "perturb>0 requires a PRNG key"
         mids = 0.5 * (z_vals[..., 1:] + z_vals[..., :-1])
         upper = jnp.concatenate([mids, z_vals[..., -1:]], axis=-1)
         lower = jnp.concatenate([z_vals[..., :1], mids], axis=-1)
-        t_rand = jax.random.uniform(key, z_vals.shape)
+        if ray_keys is not None:
+            t_rand = jax.vmap(
+                lambda k: jax.random.uniform(k, (n_samples,)))(ray_keys)
+        else:
+            t_rand = jax.random.uniform(key, z_vals.shape)
         z_vals = lower + (upper - lower) * t_rand
     return z_vals
 
@@ -144,7 +155,8 @@ def near_far_from_depth(rays_o: jnp.ndarray, rays_d: jnp.ndarray,
 
 
 def sample_pdf(key: jax.Array, bins: jnp.ndarray, weights: jnp.ndarray,
-               n_samples: int, det: bool = False) -> jnp.ndarray:
+               n_samples: int, det: bool = False,
+               ray_keys: jax.Array | None = None) -> jnp.ndarray:
     """Inverse-CDF importance sampling (NeRF hierarchical sampling).
 
     Reference: common.py:19-63.  `bins` are the midpoints between existing
@@ -153,6 +165,8 @@ def sample_pdf(key: jax.Array, bins: jnp.ndarray, weights: jnp.ndarray,
     Args:
       bins: [N_rays, M].
       weights: [N_rays, M-1] (interval weights).
+      ray_keys: optional [N_rays] key array — per-ray draw streams (see
+        stratified_z_vals), used instead of one batch draw from `key`.
     Returns:
       [N_rays, n_samples] new z samples (detached by construction —
       callers should not differentiate through this).
@@ -165,6 +179,9 @@ def sample_pdf(key: jax.Array, bins: jnp.ndarray, weights: jnp.ndarray,
     if det:
         u = jnp.linspace(0.0, 1.0, n_samples)
         u = jnp.broadcast_to(u, cdf.shape[:-1] + (n_samples,))
+    elif ray_keys is not None:
+        u = jax.vmap(
+            lambda k: jax.random.uniform(k, (n_samples,)))(ray_keys)
     else:
         u = jax.random.uniform(key, cdf.shape[:-1] + (n_samples,))
 

@@ -224,10 +224,22 @@ def build_stage_losses(*, model: SceneModel, rcfg: RenderConfig,
             d_max = jnp.max(d_render)
             if kf_axis is not None:
                 d_max = jax.lax.pmax(d_max, kf_axis)
+            ray_keys = None
+            if rcfg.perturb > 0.0:
+                # per-ray draw streams derived from the globally indexed
+                # per-frame streams, so the stratified jitter and the
+                # importance u's are identical under keyframe sharding —
+                # the same contract as the pixel and regulation draws
+                ray_keys = jax.vmap(
+                    lambda fk: jax.random.split(
+                        jax.random.fold_in(fk, 11), pix_per_frame)
+                )(frame_keys)
+                # flatten [F, P] -> [F*P], keeping any raw-key trailing axis
+                ray_keys = ray_keys.reshape((-1,) + ray_keys.shape[2:])
             depth, var, color, _ = render_rays(
                 params, grids, o, d, stage=stage, model=model, rcfg=rcfg,
                 gt_depth=(d_render if use_depth else None), key=key,
-                d_max=d_max)
+                d_max=d_max, ray_keys=ray_keys)
             depth_mask = (dgt > 0) & inside
             loss = jnp.sum(jnp.where(depth_mask, jnp.abs(dgt - depth), 0.0))
             if (not nice) or stage == 'color':
@@ -309,7 +321,7 @@ def scan_map_iters(grad_fns, nice, n_iters, opt_params, frozen_dec, masks,
 
 def make_map_step(*, model: SceneModel, rcfg: RenderConfig,
                   mcfg: MapperConfig, intr: Intrinsics, n_frames: int,
-                  n_iters: int, pix_per_frame: int):
+                  n_iters: int, pix_per_frame: int, salt: int = 0):
     """Build the jitted mapping program for a given window size/iteration
     count.  Recompiled only when those static sizes change (window growth,
     first-frame iters, color-refine).
@@ -340,6 +352,12 @@ def make_map_step(*, model: SceneModel, rcfg: RenderConfig,
 
     def map_step(opt_params, frozen_dec, masks, lr_tab, stage_idx, cam_mask,
                  colors, depths, key, opt_state=None):
+        # compile-quality re-roll hook: `lr_tab` is a traced argument, so
+        # adding the salt constant is a real (XLA-folded) HLO op that
+        # changes the program hash; the orchestrator re-rolls the compile
+        # with salt+1 when XLA drew a slow binary (engine/slam.py —
+        # same nondeterminism as the tracking program)
+        lr_tab = lr_tab + jnp.float32(salt) * 0.0
         return scan_map_iters(grad_fns, nice, n_iters, opt_params,
                               frozen_dec, masks, lr_tab, stage_idx,
                               cam_mask, colors, depths, key, opt_state)

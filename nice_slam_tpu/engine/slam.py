@@ -66,6 +66,10 @@ from nice_slam_tpu.render.renderer import RenderConfig, SceneModel
 from nice_slam_tpu.utils import config as cfgutil
 from nice_slam_tpu.utils.ckpt import save_checkpoint
 
+# TPU v5e per-chip HBM bandwidth, used by the grid-expansion autotune
+# threshold (bench.py carries the same constant)
+HBM_PEAK_GBPS = 819.0
+
 
 def tracker_config_from_cfg(cfg: dict) -> TrackerConfig:
     t = cfg['tracking']
@@ -234,6 +238,7 @@ class SlamSystem:
 
         self._track_fn = None
         self._map_fns: dict[tuple, Any] = {}
+        self._dispatch_s = None
         # corner-expanded grids for tracking, reused across the frames
         # between two mapping calls (the grids only change when a mapping
         # call commits; re-expanding per tracked frame costs ~1-2 ms/frame)
@@ -404,11 +409,42 @@ class SlamSystem:
                     from nice_slam_tpu.models.grids import prepare_grids
                     shapes = self.model.grid_shapes
                     enable = self.model.expanded
+
                     # jitted: an EAGER pallas expansion dispatch costs
-                    # ~0.4 s/call on the axon stack vs ~1 ms compiled
-                    self._prepare_tracking = jax.jit(
-                        lambda g: prepare_grids(g, shapes, enable=enable,
-                                                stage='color'))
+                    # ~0.4 s/call on the axon stack vs ~1 ms compiled.
+                    # The salt (a traced-arg add, folded by XLA) plus a
+                    # fresh jit wrapper re-rolls the compile: this program
+                    # is bandwidth-bound and XLA's draw on it has varied
+                    # 7x (BENCH_r02: 103 GB/s vs 770 GB/s binaries).
+                    def build(s):
+                        def f(g):
+                            g = jax.tree.map(
+                                lambda x: x + jnp.float32(s) * 0.0, g)
+                            return prepare_grids(g, shapes, enable=enable,
+                                                 stage='color')
+                        return jax.jit(f)
+
+                    if jax.default_backend() != 'tpu' or not enable:
+                        self._prepare_tracking = build(0)
+                    else:
+                        # threshold from the data actually moved: read the
+                        # grids + write the 8x corner-expanded volumes at
+                        # >=45% of HBM peak, plus dispatch
+                        out_sd = jax.eval_shape(
+                            lambda g: prepare_grids(
+                                g, shapes, enable=enable, stage='color'),
+                            grids)
+                        nbytes = sum(
+                            int(np.prod(x.shape)) * x.dtype.itemsize
+                            for t in (grids, out_sd)
+                            for x in jax.tree.leaves(t))
+                        # the 1.5 ms floor covers multi-output dispatch
+                        # overhead beyond the noop probe (tiny test grids
+                        # are dispatch-bound, not bandwidth-bound)
+                        thr = (max(nbytes / (0.45 * HBM_PEAK_GBPS * 1e9),
+                                   1.5e-3) + self._dispatch_latency())
+                        self._prepare_tracking = self._autotune(
+                            build, (grids,), thr, 4, 'grid-expand', reps=10)
                 grids = self._prepare_tracking(grids)
             self._tracking_grids = (params, grids)
         return self._tracking_grids
@@ -469,15 +505,56 @@ class SlamSystem:
                                self.grids if self.nice else None)
         return c2w
 
-    def _autotune_track_fn(self, example_args):
-        """Compile the tracking program and re-roll the compile when XLA
-        drew a slow binary (see make_track_frame's `salt`).
+    def _dispatch_latency(self) -> float:
+        """Per-call dispatch latency of this stack (the axon tunnel costs
+        ~2.5 ms per dispatch); measured once, used by the autotune probes
+        to separate kernel time from launch overhead."""
+        if self._dispatch_s is None:
+            tiny = jnp.zeros((8,))
+            noop = jax.jit(lambda x: x + 1.0)
+            jax.block_until_ready(noop(tiny))
+            t0 = time.perf_counter()
+            for _ in range(10):
+                out = noop(tiny)
+            jax.block_until_ready(out)
+            self._dispatch_s = (time.perf_counter() - t0) / 10
+        return self._dispatch_s
 
-        TPU compile quality on this program is nondeterministic (~9 ms vs
-        ~50 ms per frame for identical HLO).  A quick timing probe per
-        candidate costs ~0.2 s; a re-roll costs one compile and only
-        happens when the first draw was bad.  Off-TPU (CPU test runs) the
-        probe is skipped entirely."""
+    def _autotune(self, build, example_args, threshold_s, candidates, tag,
+                  reps=3):
+        """Generic compile-quality re-roll.
+
+        TPU compile quality on this stack is nondeterministic (identical
+        HLO has produced ~9 ms and ~50 ms tracking binaries, and a 7x-slow
+        grid-expansion kernel — buffer-layout assignment).  `build(salt)`
+        returns a freshly jitted program (a new jit wrapper re-rolls the
+        in-process compile; the salt additionally perturbs the
+        persistent-cache key where that cache is enabled).  Each candidate
+        is timed on `example_args`; the best is kept, stopping early once
+        a draw beats `threshold_s`."""
+        best_fn, best_t = None, float('inf')
+        for s in range(candidates):
+            fn = build(s)
+            jax.block_until_ready(fn(*example_args))   # compile + warm
+            t0 = time.perf_counter()
+            for _ in range(reps):
+                out = fn(*example_args)
+            jax.block_until_ready(out)
+            dt = (time.perf_counter() - t0) / reps
+            if dt < best_t:
+                best_fn, best_t = fn, dt
+            if best_t <= threshold_s:
+                break
+            if self.verbose:
+                print(f'INFO: {tag} binary draw {s}: '
+                      f'{dt * 1e3:.1f} ms (re-rolling compile)')
+        return best_fn
+
+    def _autotune_track_fn(self, example_args):
+        """Compile the tracking program, re-rolling slow binary draws.
+        A probe costs ~0.2 s; a re-roll costs one compile and only happens
+        when the first draw was bad.  Off-TPU (CPU test runs) the probe is
+        skipped entirely."""
         build = lambda s: make_track_frame(
             model=self.model, rcfg=self.rcfg, tcfg=self.tcfg,
             intr=self.intr, salt=s)
@@ -491,24 +568,34 @@ class SlamSystem:
         default_ms = 25.0 * max(1.0, budget / 2000.0) ** 0.85
         threshold_s = float(self.cfg.get('tracking', {})
                             .get('autotune_ms', default_ms)) / 1e3
-        best_fn, best_t = None, float('inf')
-        for s in range(int(self.cfg.get('tracking', {})
-                           .get('autotune_candidates', 3))):
-            fn = build(s)
-            jax.block_until_ready(fn(*example_args))   # compile + warm
-            t0 = time.perf_counter()
-            for _ in range(3):
-                out = fn(*example_args)
-            jax.block_until_ready(out)
-            dt = (time.perf_counter() - t0) / 3
-            if dt < best_t:
-                best_fn, best_t = fn, dt
-            if best_t <= threshold_s:
-                break
-            if self.verbose:
-                print(f'INFO: tracking binary draw {s}: '
-                      f'{dt * 1e3:.1f} ms/frame (re-rolling compile)')
-        return best_fn
+        return self._autotune(
+            build, example_args, threshold_s,
+            int(self.cfg.get('tracking', {}).get('autotune_candidates', 3)),
+            'tracking')
+
+    def _autotune_map_fn(self, build, example_args, n_iters, pixels):
+        """Compile the mapping program, re-rolling slow binary draws — the
+        same nondeterminism as the tracking program but with a much heavier
+        compile (~30-60 s), so the default candidate count is 2 and the
+        threshold scales with the pixel budget.  Skipped off-TPU and under
+        a device mesh (a multi-process probe could diverge across ranks)."""
+        if jax.default_backend() != 'tpu' or self.par_mesh is not None:
+            return build(0)
+        # tiny workloads (sub-half-Replica ray-sample budgets) are
+        # dispatch/overhead-bound: the pixels-scaled threshold mispredicts
+        # there and a re-roll can't help — skip straight to one compile
+        if pixels * (self.rcfg.n_samples + self.rcfg.n_surface) < 24000:
+            return build(0)
+        # good binaries measured: NICE 1000 px -> ~4.6 ms/iter, iMAP*
+        # 5000 px (hidden-256 MLP) -> ~33 ms/iter; thresholds sit ~30%
+        # above those, scaling linearly with the per-iteration ray count
+        base_ms = 6.0 if self.nice else 12.0
+        per_iter_ms = float(self.cfg.get('mapping', {}).get(
+            'autotune_ms_per_iter', base_ms * max(1.0, pixels / 1000.0)))
+        thr = n_iters * per_iter_ms / 1e3 + self._dispatch_latency()
+        cands = int(self.cfg.get('mapping', {}).get('autotune_candidates', 2))
+        return self._autotune(build, example_args, thr, cands, 'mapping',
+                              reps=2)
 
     # ------------------------------------------------------------------
     # mapping
@@ -683,19 +770,26 @@ class SlamSystem:
                               n_frames=n_frames, n_iters=chunk_iters,
                               pix_per_frame=pix_per_frame)
                 if self.par_mesh is None:
-                    step = make_map_step(**kwargs)
+                    builder = (lambda s=0, kw=kwargs:
+                               make_map_step(**kw, salt=s))
                 elif self.par_map == 'kf':
                     from nice_slam_tpu.parallel.distributed import \
                         make_kf_sharded_map_step
-                    step = make_kf_sharded_map_step(mesh=self.par_mesh,
-                                                    **kwargs)
+                    builder = (lambda s=0, kw=kwargs:
+                               make_kf_sharded_map_step(
+                                   mesh=self.par_mesh, **kw))
                 else:
                     from nice_slam_tpu.parallel.sharded import \
                         make_sharded_map_step
-                    step = make_sharded_map_step(mesh=self.par_mesh,
-                                                 **kwargs)
-                self._map_fns[cache_key] = (step, jax.jit(adam_init))
-            map_fn, init_fn = self._map_fns[cache_key]
+                    builder = (lambda s=0, kw=kwargs:
+                               make_sharded_map_step(
+                                   mesh=self.par_mesh, **kw))
+                # step is compiled lazily below (the autotune probe needs
+                # the first call's real operands as example args)
+                self._map_fns[cache_key] = [None, jax.jit(adam_init),
+                                            builder]
+            map_entry = self._map_fns[cache_key]
+            map_fn, init_fn = map_entry[0], map_entry[1]
 
             # full-length schedules, sliced per chunk; the tail chunk pads
             # with zero-lr iterations (no parameter/moment effect persists —
@@ -739,6 +833,15 @@ class SlamSystem:
                 colors_d = jnp.stack(colors)
                 depths_d = jnp.stack(depths)
             opt_state, loss_chunks = init_fn(opt_params), []
+            if map_fn is None:
+                map_fn = self._autotune_map_fn(
+                    map_entry[2],
+                    (opt_params, frozen_dec, masks,
+                     jnp.asarray(lr_full[:chunk_iters]),
+                     jnp.asarray(stage_full[:chunk_iters]), cam_mask_d,
+                     colors_d, depths_d, sub, opt_state),
+                    chunk_iters, mcfg.pixels)
+                map_entry[0], map_entry[2] = map_fn, None
             for c in range(n_chunks):
                 if do_inside_vis and (c * chunk_iters) % vis_inside == 0:
                     self.map_vis.vis(

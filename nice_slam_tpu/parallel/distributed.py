@@ -123,11 +123,11 @@ def make_kf_sharded_map_step(*, mesh: Mesh, model: SceneModel,
     cycling real frames).  colors/depths arrive sharded P('kf') on the
     frame axis; everything else is replicated.  Each device renders
     `pix_per_frame` rays from each of its local frames with the SAME
-    per-frame PRNG streams as the replicated step (pixel draws AND the
-    iMAP free-space regulation), so the losses/updates match the
-    single-chip program bit-for-bit up to f32 psum order.  Caveat: the
-    stratified-sample jitter when `rendering.perturb > 0` draws
-    per-shard (every reference config runs perturb 0.0).
+    per-frame PRNG streams as the replicated step (pixel draws, the iMAP
+    free-space regulation, and — via per-ray key streams — the
+    stratified-sample jitter and importance draws when
+    `rendering.perturb > 0`), so the losses/updates match the
+    single-chip program bit-for-bit up to f32 psum order.
 
     Signature matches make_map_step.
     """

@@ -119,7 +119,8 @@ def eval_raw(params: Any, grids: dict[str, jnp.ndarray] | None,
 def _z_values(key: jax.Array | None, rcfg: RenderConfig,
               rays_o: jnp.ndarray, rays_d: jnp.ndarray,
               gt_depth: jnp.ndarray | None, bound: jnp.ndarray,
-              stage: str, d_max: jnp.ndarray | None = None) -> jnp.ndarray:
+              stage: str, d_max: jnp.ndarray | None = None,
+              ray_keys: jax.Array | None = None) -> jnp.ndarray:
     """Sample depths along rays (Renderer.py:125-224).
 
     The coarse stage ignores sensor depth entirely (:125-126).
@@ -133,7 +134,7 @@ def _z_values(key: jax.Array | None, rcfg: RenderConfig,
                                     grad_z=rcfg.grad_z, d_max=d_max)
     z_vals = stratified_z_vals(
         rcfg.n_samples, near, far, lindisp=rcfg.lindisp,
-        perturb=rcfg.perturb, key=key)
+        perturb=rcfg.perturb, key=key, ray_keys=ray_keys)
     if use_depth and rcfg.n_surface > 0:
         z_surf = surface_z_vals(rcfg.n_surface, gt_depth, d_max=d_max)
         # NOTE: a two-way rank merge (the inputs are each sorted) was
@@ -149,7 +150,8 @@ def render_rays(params: Any, grids: dict[str, jnp.ndarray] | None,
                 model: SceneModel, rcfg: RenderConfig,
                 gt_depth: jnp.ndarray | None = None,
                 key: jax.Array | None = None,
-                d_max: jnp.ndarray | None = None):
+                d_max: jnp.ndarray | None = None,
+                ray_keys: jax.Array | None = None):
     """Render a batch of rays (Renderer.py:95-262).
 
     Args:
@@ -158,14 +160,25 @@ def render_rays(params: Any, grids: dict[str, jnp.ndarray] | None,
         Mapper.py:598-600).
       key: PRNG key, required when perturb>0 or stochastic n_importance.
       d_max: batch depth-maximum override for sharded callers.
+      ray_keys: optional [N] key array — per-ray stochastic-draw streams
+        (stratified jitter + importance u's), making the draws invariant
+        to how the batch is sharded; takes precedence over `key` for
+        those draws.
     Returns:
       (depth [N], depth_var [N], color [N, 3], weights [N, S]).
     """
     k_strat = k_imp = None
     if key is not None:
         k_strat, k_imp = jax.random.split(key)
+    strat_ray_keys = imp_ray_keys = None
+    if ray_keys is not None:
+        strat_ray_keys = jax.vmap(
+            lambda k: jax.random.fold_in(k, 0))(ray_keys)
+        imp_ray_keys = jax.vmap(
+            lambda k: jax.random.fold_in(k, 1))(ray_keys)
     z_vals = _z_values(k_strat, rcfg, rays_o, rays_d, gt_depth,
-                       model.bound, stage, d_max=d_max)
+                       model.bound, stage, d_max=d_max,
+                       ray_keys=strat_ray_keys)
     pts = rays_o[..., None, :] + rays_d[..., None, :] * z_vals[..., :, None]
     n_rays, s = z_vals.shape
     raw = eval_raw(params, grids, pts.reshape(-1, 3), stage, model)
@@ -178,7 +191,7 @@ def render_rays(params: Any, grids: dict[str, jnp.ndarray] | None,
         z_samples = sample_pdf(
             k_imp if k_imp is not None else jax.random.PRNGKey(0),
             z_mid, weights[..., 1:-1], rcfg.n_importance,
-            det=(rcfg.perturb == 0.0))
+            det=(rcfg.perturb == 0.0), ray_keys=imp_ray_keys)
         z_samples = jax.lax.stop_gradient(z_samples)
         # The reference re-decodes ALL s + n_importance points here
         # (Renderer.py:244-259).  The decoder is a pure function, so the

@@ -55,5 +55,9 @@ def clear(cache_dir: str | None = None) -> None:
     import shutil
     if cache_dir is None:
         cache_dir = enable()
+    if not cache_dir:
+        # enable() reported the persistent cache is disabled on this
+        # backend (TPU remote-compile path) — nothing to clear.
+        return
     shutil.rmtree(cache_dir, ignore_errors=True)
     os.makedirs(cache_dir, exist_ok=True)

@@ -62,8 +62,9 @@ def main() -> None:
             start = slam.restore(load_checkpoint(path))
             print(f'INFO: resumed from {path} at frame {start}')
 
-    for idx in range(start, slam.n_img):
-        slam.step(idx)
+    # run() (not a bare step loop) so the CLI path gets the prefetcher,
+    # the profiler hook, and the final mesh join (engine/slam.py)
+    slam.run(start)
     print('INFO: done.', slam.timers.summary())
 
 

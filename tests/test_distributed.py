@@ -22,13 +22,15 @@ import pytest
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def _setup(n_frames=4):
+def _setup(n_frames=4, perturb=0.0):
     import __graft_entry__ as g
     from nice_slam_tpu.core.cameras import Intrinsics
     from nice_slam_tpu.engine.mapper import (
         MapperConfig, lr_table, stage_schedule)
 
     model, rcfg, gcfg, grids, params, key = g._tiny_setup()
+    if perturb:
+        rcfg = rcfg._replace(perturb=perturb)
     intr = Intrinsics(H=24, W=32, fx=16.0, fy=16.0, cx=15.5, cy=11.5)
     stage_lr = tuple((s, (0.005, 0.001, 0.1, 0.005, 0.005))
                      for s in ('coarse', 'middle', 'fine', 'color'))
@@ -50,16 +52,19 @@ def _setup(n_frames=4):
             lr_tab, stage_idx, cam_mask, key)
 
 
-def test_kf_sharded_matches_replicated():
+@pytest.mark.parametrize('perturb', [0.0, 1.0])
+def test_kf_sharded_matches_replicated(perturb):
     """Keyframe-sharded mapping (4 frames over 4 devices) must reproduce
     the replicated step's values: identical pixel draws per frame, psum
-    changes only the f32 summation order."""
+    changes only the f32 summation order.  perturb=1.0 exercises the
+    per-ray stratified-jitter key streams (the draws must not depend on
+    how the batch is sharded)."""
     from nice_slam_tpu.engine.mapper import make_map_step
     from nice_slam_tpu.parallel.distributed import (
         kf_mesh, make_kf_sharded_map_step, window_to_global)
 
     (model, rcfg, mcfg, intr, opt_params, frozen, colors, depths,
-     lr_tab, stage_idx, cam_mask, key) = _setup(4)
+     lr_tab, stage_idx, cam_mask, key) = _setup(4, perturb=perturb)
 
     single = make_map_step(model=model, rcfg=rcfg, mcfg=mcfg, intr=intr,
                            n_frames=4, n_iters=mcfg.iters, pix_per_frame=16)
@@ -89,10 +94,13 @@ def test_kf_sharded_matches_replicated():
         assert frac > 0.999, (name, frac)
 
 
-def test_kf_sharded_imap_matches_replicated():
+@pytest.mark.parametrize('perturb', [0.0, 1.0])
+def test_kf_sharded_imap_matches_replicated(perturb):
     """iMAP mode under keyframe sharding: density rendering, importance
     resampling and the free-space regulation (whose draws are per-frame
-    keyed) must also reproduce the replicated step."""
+    keyed) must also reproduce the replicated step.  perturb=1.0 makes
+    the importance u's stochastic (det=False) — covered by the per-ray
+    key streams."""
     import jax.numpy as jnp
     from nice_slam_tpu.core.cameras import Intrinsics
     from nice_slam_tpu.engine.mapper import (
@@ -108,7 +116,7 @@ def test_kf_sharded_imap_matches_replicated():
     bound = jnp.asarray([[-2.0, 2.0], [-2.0, 2.0], [-2.0, 2.0]])
     model = SceneModel(kind='imap', decoder=dcfg, bound=bound)
     rcfg = RenderConfig(n_samples=8, n_surface=0, n_importance=4,
-                        occupancy=False, perturb=0.0)
+                        occupancy=False, perturb=perturb)
     mcfg = MapperConfig(pixels=32, iters=4, ba=True, window_size=4)
     intr = Intrinsics(H=24, W=32, fx=16.0, fy=16.0, cx=15.5, cy=11.5)
     key = jax.random.PRNGKey(3)
