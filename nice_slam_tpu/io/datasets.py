@@ -81,7 +81,9 @@ class BaseDataset:
 
     def _read_depth(self, path: str) -> np.ndarray:
         if path.endswith('.exr'):
-            return _read_exr_depth(path)
+            # the reference divides EXR depth by png_depth_scale too
+            # (datasets.py:92; CoFusion configs set it to 1.0)
+            return _read_exr_depth(path) / self.png_depth_scale
         d = cv2.imread(path, cv2.IMREAD_UNCHANGED)
         return d.astype(np.float32) / self.png_depth_scale
 
@@ -98,10 +100,14 @@ class BaseDataset:
         if color.shape[:2] != (h, w):
             color = cv2.resize(color, (w, h))
         if self.crop_size is not None:
+            # the reference resizes with torch F.interpolate — bilinear
+            # align_corners=True for color, 'nearest' for depth
+            # (datasets.py:97-104); cv2.resize uses half-pixel alignment
+            # and WOULD deviate, so these reimplement torch's exact
+            # coordinate conventions
             ch, cw = self.crop_size
-            color = cv2.resize(color, (cw, ch), interpolation=cv2.INTER_LINEAR)
-            depth = cv2.resize(depth, (cw, ch),
-                               interpolation=cv2.INTER_NEAREST)
+            color = _resize_bilinear_align_corners(color, ch, cw)
+            depth = _resize_nearest(depth, ch, cw)
         e = self.crop_edge
         if e > 0:
             color = color[e:-e, e:-e]
@@ -109,6 +115,34 @@ class BaseDataset:
         pose = self.poses[index].copy()
         pose[:3, 3] *= self.scale
         return index, color, depth, pose.astype(np.float32)
+
+
+def _resize_bilinear_align_corners(img: np.ndarray, ch: int, cw: int
+                                   ) -> np.ndarray:
+    """Bilinear resize with torch's align_corners=True convention: source
+    coordinate = dst * (in - 1) / (out - 1) (F.interpolate,
+    reference datasets.py:100-101).  img is [H, W, C]."""
+    h, w = img.shape[:2]
+    ys = (np.arange(ch, dtype=np.float64) * (h - 1) / max(ch - 1, 1))
+    xs = (np.arange(cw, dtype=np.float64) * (w - 1) / max(cw - 1, 1))
+    y0 = np.clip(np.floor(ys).astype(np.int64), 0, h - 1)
+    x0 = np.clip(np.floor(xs).astype(np.int64), 0, w - 1)
+    y1 = np.minimum(y0 + 1, h - 1)
+    x1 = np.minimum(x0 + 1, w - 1)
+    wy = (ys - y0).astype(img.dtype)[:, None, None]
+    wx = (xs - x0).astype(img.dtype)[None, :, None]
+    top = img[y0][:, x0] * (1 - wx) + img[y0][:, x1] * wx
+    bot = img[y1][:, x0] * (1 - wx) + img[y1][:, x1] * wx
+    return top * (1 - wy) + bot * wy
+
+
+def _resize_nearest(img: np.ndarray, ch: int, cw: int) -> np.ndarray:
+    """Nearest resize with torch's 'nearest' convention: source index =
+    floor(dst * in / out) (F.interpolate, reference datasets.py:102-103)."""
+    h, w = img.shape[:2]
+    ys = np.minimum((np.arange(ch) * h) // ch, h - 1)
+    xs = np.minimum((np.arange(cw) * w) // cw, w - 1)
+    return img[ys][:, xs]
 
 
 def _flip_yz(c2w: np.ndarray) -> np.ndarray:
