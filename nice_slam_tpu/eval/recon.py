@@ -96,6 +96,89 @@ def calc_3d_metric(rec_verts, rec_tris, gt_verts, gt_tris, *,
     }
 
 
+def oriented_bounds(verts: np.ndarray):
+    """PCA-approximate oriented bounding box.
+
+    Replaces trimesh.bounds.oriented_bounds (used by the reference's
+    get_cam_position, eval_recon.py:120-128) without the trimesh
+    dependency: axes come from the vertex covariance eigenvectors
+    (descending variance) rather than the exact minimal-volume search —
+    for room scans the two agree closely.
+    Returns (to_origin [4,4], extents [3]) with to_origin mapping the mesh
+    into a centered axis-aligned frame.
+    """
+    c = verts.mean(axis=0)
+    cov = np.cov((verts - c).T)
+    _, evecs = np.linalg.eigh(cov)
+    rot = evecs[:, ::-1].T            # rows = box axes, descending variance
+    if np.linalg.det(rot) < 0:
+        rot[2] *= -1
+    local = (verts - c) @ rot.T
+    lo, hi = local.min(axis=0), local.max(axis=0)
+    to_origin = np.eye(4)
+    to_origin[:3, :3] = rot
+    to_origin[:3, 3] = -rot @ c - (lo + hi) / 2
+    return to_origin, hi - lo
+
+
+def _viewmatrix(z, up, pos) -> np.ndarray:
+    """Look-at camera basis (reference eval_recon.py:15-21): columns
+    [right, up', forward, pos], forward toward the target (CV +z)."""
+    vec2 = z / np.linalg.norm(z)
+    vec0 = np.cross(up, vec2)
+    vec0 /= np.linalg.norm(vec0)
+    vec1 = np.cross(vec2, vec0)
+    vec1 /= np.linalg.norm(vec1)
+    c2w = np.eye(4)
+    c2w[:3, :3] = np.stack([vec0, vec1, vec2], axis=1)
+    c2w[:3, 3] = pos
+    return c2w
+
+
+def _sees_points(points, w, h, fx, fy, cx, cy, c2w) -> bool:
+    """Whether any of `points` projects inside the view (the reference's
+    check_proj, eval_recon.py:62-88, reduced to its net CV-convention
+    effect: in front of the camera and inside the image rect)."""
+    if len(points) == 0:
+        return False
+    w2c = np.linalg.inv(c2w)
+    cam = points @ w2c[:3, :3].T + w2c[:3, 3]
+    z = cam[:, 2] + 1e-5
+    u = fx * cam[:, 0] / z + cx
+    v = fy * cam[:, 1] / z + cy
+    vis = (z > 0) & (u > 0) & (u < w) & (v > 0) & (v < h)
+    return bool(vis.any())
+
+
+def reference_view_sampler(gt_verts: np.ndarray, rng,
+                           unseen_pts: np.ndarray | None = None,
+                           w: int = 500, h: int = 500,
+                           focal: float = 300.0, max_tries: int = 200):
+    """Generator of c2w views with the REFERENCE'S view measure
+    (eval_recon.py:152-178): camera origins uniform in the GT mesh's
+    shrunk oriented bounding box (x extent x0.3, y/z x0.7, +0.4 lift),
+    looking at a uniform random far target with up=[0,0,-1], rejecting any
+    view that sees a point of `unseen_pts` (the culled GT mesh's unseen
+    companion cloud) — so depth-L1 numbers are comparable to the paper's.
+    """
+    to_origin, extents = oriented_bounds(gt_verts)
+    extents = extents * np.array([0.3, 0.7, 0.7])
+    transform = np.linalg.inv(to_origin)
+    transform[2, 3] += 0.4
+    cx = w / 2.0 - 0.5
+    cy = h / 2.0 - 0.5
+    while True:
+        for _ in range(max_tries):
+            local = (rng.random(3) - 0.5) * extents
+            origin = transform[:3, :3] @ local + transform[:3, 3]
+            target = rng.uniform(-10000.0, 10000.0, 3) - origin
+            c2w = _viewmatrix(target, np.array([0.0, 0.0, -1.0]), origin)
+            if unseen_pts is None or not _sees_points(
+                    unseen_pts, w, h, focal, focal, cx, cy, c2w):
+                break
+        yield c2w
+
+
 def _random_inward_pose(bounds_lo, bounds_hi, rng) -> np.ndarray:
     """Random camera inside the scene AABB looking in a random direction
     (c2w, CV convention: +z forward)."""
@@ -119,20 +202,48 @@ def _random_inward_pose(bounds_lo, bounds_hi, rng) -> np.ndarray:
 def calc_2d_metric(rec_verts, rec_tris, gt_verts, gt_tris, *,
                    n_imgs: int = 1000, seed: int = 0,
                    image_size: int = 500, focal: float = 300.0,
-                   min_valid_ratio: float = 0.5) -> dict:
-    """Depth-L1 over random in-room renders, cm (eval_recon.py:131-210).
+                   min_valid_ratio: float = 0.5,
+                   view_sampling: str = 'reference',
+                   unseen_pts: np.ndarray | None = None) -> dict:
+    """Depth-L1 over rendered views, cm (eval_recon.py:131-210).
 
-    A sampled view is accepted only if the GT render covers at least
-    `min_valid_ratio` of the image (the reference rejects views that stare
-    at unobserved space via check_proj, :62-88).
+    view_sampling:
+      * 'reference' (default): the reference's exact view measure —
+        origins uniform in the GT mesh's shrunk oriented bounding box,
+        look-at with up=[0,0,-1], views seeing any `unseen_pts` rejected
+        (check_proj), and the per-view error is the UNMASKED full-image
+        |gt - rec| mean like the reference's (:206) — numbers are then
+        comparable to the paper's 1.90 cm.
+      * 'uniform': uniform in-AABB poses with a valid-coverage filter and
+        the error masked to pixels both meshes cover (a stricter surface
+        metric, kept for the synthetic acceptance tests).
+
+    unseen_pts: point cloud of GT regions no camera observed (the culled
+    GT mesh's `*_pc_unseen.npy` companion in the reference's data release);
+    None disables the rejection.
     """
     rng = np.random.default_rng(seed)
-    lo = gt_verts.min(axis=0)
-    hi = gt_verts.max(axis=0)
     h = w = image_size
     cx = cy = image_size / 2.0 - 0.5
-
     errors = []
+
+    if view_sampling == 'reference':
+        views = reference_view_sampler(gt_verts, rng, unseen_pts,
+                                       w=w, h=h, focal=focal)
+        for _ in range(n_imgs):
+            w2c = np.linalg.inv(next(views))
+            gt_d = rasterize_depth(gt_verts, gt_tris, w2c, focal, focal,
+                                   cx, cy, h, w)
+            rec_d = rasterize_depth(rec_verts, rec_tris, w2c, focal, focal,
+                                    cx, cy, h, w)
+            errors.append(np.abs(gt_d - rec_d).mean())
+        return {
+            'depth_l1_cm': float(np.mean(errors) * 100),
+            'n_views': len(errors),
+        }
+
+    lo = gt_verts.min(axis=0)
+    hi = gt_verts.max(axis=0)
     attempts = 0
     while len(errors) < n_imgs and attempts < n_imgs * 20:
         attempts += 1

@@ -82,6 +82,58 @@ def test_3d_metric_icp_fixes_offset():
 def test_2d_metric_runs():
     v, t = _box_mesh()
     m = calc_2d_metric(v, t, v, t, n_imgs=5, image_size=100, focal=60.0,
-                       min_valid_ratio=0.3)
+                       min_valid_ratio=0.3, view_sampling='uniform')
     assert m['n_views'] == 5
     assert m['depth_l1_cm'] < 0.5
+
+
+def test_2d_metric_reference_views_identical():
+    """Reference view measure: identical meshes render identical depth
+    from every sampled view — L1 exactly 0."""
+    v, t = _box_mesh()
+    m = calc_2d_metric(v, t, v, t, n_imgs=5, image_size=100, focal=60.0)
+    assert m['n_views'] == 5
+    assert m['depth_l1_cm'] < 1e-6
+
+
+def test_2d_metric_reference_views_detect_offset():
+    """A 4 cm-shifted reconstruction must register a depth error of the
+    same order under the reference view measure."""
+    v, t = _box_mesh()
+    v2, t2 = _box_mesh(offset=0.04)
+    m = calc_2d_metric(v2, t2, v, t, n_imgs=8, image_size=100, focal=60.0)
+    assert 0.5 < m['depth_l1_cm'] < 20.0, m
+
+
+def test_2d_metric_reference_views_inside_obb():
+    """Sampled camera origins land inside the (lifted, shrunk) oriented
+    bounding box of the GT mesh (eval_recon.py:120-128, 152-166)."""
+    from nice_slam_tpu.eval.recon import oriented_bounds, \
+        reference_view_sampler
+    v, t = _box_mesh()
+    rng = np.random.default_rng(3)
+    views = reference_view_sampler(v, rng, None, w=100, h=100, focal=60.0)
+    to_origin, extents = oriented_bounds(v)
+    for _ in range(10):
+        c2w = next(views)
+        local = to_origin[:3, :3] @ c2w[:3, 3] + to_origin[:3, 3]
+        # inside the shrunk box, up to the +0.4 z lift in world frame
+        assert np.all(np.abs(local) < extents * 0.5 + 0.45), local
+
+
+def test_2d_metric_unseen_rejection():
+    """Views that would see the unseen-region point cloud are rejected:
+    with unseen points concentrated at one end of the room, accepted views
+    must not project any of them."""
+    from nice_slam_tpu.eval.recon import _sees_points, \
+        reference_view_sampler
+    v, t = _box_mesh()
+    rng = np.random.default_rng(4)
+    unseen = np.array([[0.45, 0.0, 0.0],
+                       [0.45, 0.1, 0.0],
+                       [0.45, 0.0, 0.1]])
+    views = reference_view_sampler(v, rng, unseen, w=100, h=100, focal=60.0)
+    cx = cy = 100 / 2.0 - 0.5
+    for _ in range(10):
+        c2w = next(views)
+        assert not _sees_points(unseen, 100, 100, 60.0, 60.0, cx, cy, c2w)

@@ -24,6 +24,12 @@ def main() -> None:
     parser.add_argument('-2d', dest='metric_2d', action='store_true')
     parser.add_argument('-3d', dest='metric_3d', action='store_true')
     parser.add_argument('--n_imgs', type=int, default=1000)
+    parser.add_argument('--view_sampling', type=str, default='reference',
+                        choices=['reference', 'uniform'],
+                        help="'reference' reproduces the paper's view "
+                             "measure (OBB-sampled origins + unseen-point "
+                             "rejection when *_pc_unseen.npy exists next "
+                             "to the GT mesh)")
     args = parser.parse_args()
 
     from nice_slam_tpu.mesh.mesher import load_ply
@@ -37,7 +43,15 @@ def main() -> None:
         for k, v in m.items():
             print(f'{k}: {v:.4f}')
     if args.metric_2d:
-        m = calc_2d_metric(rec_v, rec_t, gt_v, gt_t, n_imgs=args.n_imgs)
+        import numpy as np
+        # the reference's culled-GT release ships an unseen-region point
+        # cloud next to each mesh (eval_recon.py:146-147)
+        unseen_path = args.gt_mesh.replace('.ply', '_pc_unseen.npy')
+        unseen = np.load(unseen_path) if os.path.isfile(unseen_path) \
+            else None
+        m = calc_2d_metric(rec_v, rec_t, gt_v, gt_t, n_imgs=args.n_imgs,
+                           view_sampling=args.view_sampling,
+                           unseen_pts=unseen)
         for k, v in m.items():
             print(f'{k}: {v}')
 
