@@ -245,9 +245,13 @@ class SlamSystem:
         self._tracking_grids = None
         self._prepare_tracking = None
 
-        # sync method + device pipeline (see module docstring)
+        # sync method + device pipeline (see module docstring).  Tracking
+        # and the 2-device pipeline use PROCESS-LOCAL devices (under a
+        # multi-process runtime jax.devices() lists other hosts' devices,
+        # which this process cannot device_put to); the sharded-mapping
+        # mesh below spans the GLOBAL device list.
         self.sync_method = cfg.get('sync_method', 'strict')
-        devs = jax.devices()
+        devs = jax.local_devices()
         self.track_device = devs[0]
         self.map_device = (devs[1] if self.sync_method != 'strict'
                            and len(devs) > 1 else devs[0])
@@ -264,13 +268,14 @@ class SlamSystem:
         self.par_map = pcfg.get('map', 'none')
         self.par_mesh = None
         if self.par_map != 'none':
-            n_par = int(pcfg.get('devices', 0)) or len(devs)
+            gdevs = jax.devices()    # GLOBAL: the mesh spans every process
+            n_par = int(pcfg.get('devices', 0)) or len(gdevs)
             if self.par_map == 'kf':
                 from nice_slam_tpu.parallel.distributed import kf_mesh
-                self.par_mesh = kf_mesh(devs[:n_par])
+                self.par_mesh = kf_mesh(gdevs[:n_par])
             elif self.par_map == 'rays':
                 from nice_slam_tpu.parallel.mesh import make_ray_mesh
-                self.par_mesh = make_ray_mesh(n_par, devices=devs)
+                self.par_mesh = make_ray_mesh(n_par, devices=gdevs)
             else:
                 raise ValueError(f'parallel.map: {self.par_map}')
             # sharded mapping owns the devices; the 2-device pipeline and
@@ -343,6 +348,17 @@ class SlamSystem:
                 cfg['mapping'].get('vis_freq', 50), model=self.model,
                 rcfg=self.rcfg, intr=self.intr, verbose=self.verbose)
         self.vis_enabled = bool(cfg.get('enable_vis', True))
+        # live dashboard while the run executes (the reference's
+        # visualizer.py shows the reconstruction AS IT RUNS; utils/live.py)
+        vcfg = cfg.get('visualization', {}) or {}
+        self.live = None
+        self._last_panel: str | None = None
+        if vcfg.get('live'):
+            from nice_slam_tpu.utils.live import LiveViewer
+            self.live = LiveViewer(
+                os.path.join(self.output, 'live'), self.intr,
+                freq=int(vcfg.get('live_freq', 5)),
+                port=vcfg.get('live_port'))
         # aux subsystem #2 (SURVEY.md §5): the reference's safety is
         # by-construction single-writer discipline; here state is functional,
         # and this optional mode asserts the invariants every step
@@ -500,9 +516,10 @@ class SlamSystem:
         self.timers.track_s += time.perf_counter() - t0
         self.timers.frames_tracked += 1
         if self.vis_enabled and idx > 0:
-            self.track_vis.vis(idx, 0, depth_np, color_np, c2w,
-                               self.full_dec_params(),
-                               self.grids if self.nice else None)
+            panel = self.track_vis.vis(idx, 0, depth_np, color_np, c2w,
+                                       self.full_dec_params(),
+                                       self.grids if self.nice else None)
+            self._last_panel = panel or self._last_panel
         return c2w
 
     def _dispatch_latency(self) -> float:
@@ -906,10 +923,11 @@ class SlamSystem:
             self.timers.frames_mapped += 1
             self.mapping_idx = idx
             if self.vis_enabled and self.map_vis is not None and idx > 0:
-                self.map_vis.vis(idx, 0, depth_np, color_np,
-                                 self.estimate_c2w[idx],
-                                 self.full_dec_params(),
-                                 self.grids if self.nice else None)
+                panel = self.map_vis.vis(idx, 0, depth_np, color_np,
+                                         self.estimate_c2w[idx],
+                                         self.full_dec_params(),
+                                         self.grids if self.nice else None)
+                self._last_panel = panel or self._last_panel
 
     # ------------------------------------------------------------------
     # services: checkpoint / mesh
@@ -1067,6 +1085,12 @@ class SlamSystem:
             self._assert_invariants(idx)
 
         self._log_metrics(idx)
+        if self.live is not None:
+            self.live.update(idx, self.n_img, self.estimate_c2w,
+                             self.gt_c2w,
+                             mesh_dir=os.path.join(self.output, 'mesh'),
+                             panel_path=self._last_panel,
+                             timers=self.timers.summary())
 
         # release the device copies of non-keyframe images
         if idx not in self.keyframes.indices:
@@ -1118,6 +1142,8 @@ class SlamSystem:
             self.join_mesh()
             self.frame_reader.close()
             self.frame_reader = reader
+            if self.live is not None:
+                self.live.close()
             if self.profile_dir:
                 import jax.profiler
                 jax.profiler.stop_trace()

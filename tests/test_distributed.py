@@ -198,6 +198,88 @@ print('RESULT' + str(pid) + json.dumps(res), flush=True)
 """
 
 
+_CHILD_E2E = r"""
+import json, os, sys
+pid = int(sys.argv[1]); nproc = int(sys.argv[2]); port = sys.argv[3]
+out = sys.argv[4]
+sys.path.insert(0, {repo!r}); sys.path.insert(0, os.path.join({repo!r}, 'tests'))
+# the run.py bring-up path: NSTPU_* env -> initialize_from_env()
+os.environ['NSTPU_COORDINATOR'] = f'localhost:{{port}}'
+os.environ['NSTPU_NUM_PROCESSES'] = str(nproc)
+os.environ['NSTPU_PROCESS_ID'] = str(pid)
+os.environ['NSTPU_CPU_SIM'] = '1'
+os.environ['NSTPU_LOCAL_DEVICES'] = '2'
+from nice_slam_tpu.parallel.distributed import initialize_from_env
+assert initialize_from_env()
+import jax
+assert jax.process_count() == nproc and len(jax.devices()) == 4
+import numpy as np
+from util import make_test_cfg
+from nice_slam_tpu.engine.slam import SlamSystem
+cfg = make_test_cfg(n_frames=5)
+cfg['parallel'] = {{'map': 'kf'}}
+slam = SlamSystem(cfg, nice=True, output=out)
+assert slam.par_mesh is not None and slam.par_mesh.devices.size == 4
+slam.run()
+res = dict(poses=np.asarray(slam.estimate_c2w).tolist(),
+           gt=np.asarray(slam.gt_c2w).tolist(),
+           tracked=slam.timers.frames_tracked,
+           mapped=slam.timers.frames_mapped)
+print('RESULT' + str(pid) + json.dumps(res), flush=True)
+"""
+
+
+@pytest.mark.slow
+def test_two_process_end_to_end_slam(tmp_path):
+    """FULL SlamSystem run under a 2-process runtime (2 x 2 virtual
+    devices, gloo, `parallel.map: kf`), brought up through the same
+    NSTPU_* env path run.py uses.  Both ranks must produce IDENTICAL pose
+    lists (the sharded update is replicated) within the single-process
+    engine-test bounds."""
+    child = tmp_path / 'child_e2e.py'
+    child.write_text(_CHILD_E2E.format(repo=REPO))
+    import socket
+    with socket.socket() as s:
+        s.bind(('localhost', 0))
+        port = s.getsockname()[1]
+    env = dict(os.environ)
+    env.pop('XLA_FLAGS', None)
+    procs = [subprocess.Popen(
+        [sys.executable, str(child), str(i), '2', str(port),
+         str(tmp_path / f'out{i}')],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        env=env, cwd=str(tmp_path))
+        for i in range(2)]
+    outs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=900)
+        assert p.returncode == 0, out[-4000:]
+        outs.append(out)
+
+    results = {}
+    for out in outs:
+        for line in out.splitlines():
+            if line.startswith('RESULT'):
+                results[int(line[6])] = json.loads(line[7:])
+    assert sorted(results) == [0, 1], outs[0][-2000:]
+    for r in results.values():
+        assert r['tracked'] == 5 and r['mapped'] >= 2
+
+    # ranks agree exactly — the whole run is replicated state + one
+    # sharded step whose psum result is identical on every process
+    np.testing.assert_allclose(results[0]['poses'], results[1]['poses'],
+                               atol=1e-6)
+    # and the trajectory tracks within the single-process bounds
+    # (tests/test_distributed.test_engine_with_sharded_mapping)
+    est = np.asarray(results[0]['poses'])
+    gt = np.asarray(results[0]['gt'])
+    t_err = np.linalg.norm(est[:, :3, 3] - gt[:, :3, 3], axis=-1)
+    assert np.max(t_err) < 0.03, t_err
+    # artifacts: each rank wrote its own final mesh
+    for i in range(2):
+        assert (tmp_path / f'out{i}' / 'mesh' / 'final_mesh.ply').exists()
+
+
 @pytest.mark.slow
 def test_two_process_kf_sharded_map(tmp_path):
     """Real multi-process run: 2 processes x 2 virtual devices, gloo
