@@ -30,6 +30,11 @@ def main() -> None:
     parser.add_argument('--resume', action='store_true',
                         help='resume from the latest checkpoint')
     parser.add_argument('--seed', type=int, default=0)
+    parser.add_argument('--live', action='store_true',
+                        help='write a self-refreshing live dashboard '
+                             'under <output>/live while the run executes')
+    parser.add_argument('--live_port', type=int, default=None,
+                        help='also serve the live dashboard over HTTP')
     args = parser.parse_args()
 
     from nice_slam_tpu.utils.compilation_cache import enable as _cc
@@ -44,6 +49,11 @@ def main() -> None:
     from nice_slam_tpu.utils.config import load_config
     default = 'configs/nice_slam.yaml' if args.nice else 'configs/imap.yaml'
     cfg = load_config(args.config, default)
+    if args.live or args.live_port is not None:
+        cfg.setdefault('visualization', {})
+        cfg['visualization']['live'] = True
+        if args.live_port is not None:
+            cfg['visualization']['live_port'] = args.live_port
 
     from nice_slam_tpu.engine.slam import SlamSystem
     slam = SlamSystem(cfg, nice=args.nice, input_folder=args.input_folder,

@@ -169,3 +169,59 @@ def test_imap_end_to_end_run():
     assert np.max(t_err) < 0.08, t_err
     import os
     assert os.path.exists('/tmp/nstpu_test_imap/metrics.jsonl')
+
+
+def test_live_viewer_during_run(tmp_path):
+    """`visualization.live` produces an updating dashboard while the run
+    executes: trajectory plot, mesh render, status.json reaching the last
+    frame, and (with live_port: 0) a working HTTP endpoint."""
+    import json
+    import urllib.request
+
+    from tests.util import make_test_cfg
+    from nice_slam_tpu.engine.slam import SlamSystem
+
+    cfg = make_test_cfg(n_frames=5)
+    cfg['mapping']['mesh_freq'] = 4          # a mesh lands mid-run
+    cfg['visualization'] = {'live': True, 'live_freq': 2, 'live_port': 0}
+    slam = SlamSystem(cfg, nice=True, output=str(tmp_path))
+    port = slam.live.port
+    assert port
+    slam.run()
+
+    live = tmp_path / 'live'
+    assert (live / 'index.html').exists()
+    assert (live / 'traj.png').exists()
+    assert (live / 'mesh.png').exists()       # rendered from the run's mesh
+    status = json.loads((live / 'status.json').read_text())
+    assert status['frame'] == 4 and status['n_img'] == 5
+    assert status['pose_err_vs_gt_m'] < 0.03
+    # server was live during the run; closed in run()'s finally
+    slam.live.close()
+
+
+def test_live_viewer_http_serves(tmp_path):
+    """The HTTP endpoint serves the dashboard files."""
+    import json
+    import urllib.request
+
+    import numpy as np
+    from nice_slam_tpu.core.cameras import Intrinsics
+    from nice_slam_tpu.utils.live import LiveViewer
+
+    intr = Intrinsics(H=24, W=32, fx=16.0, fy=16.0, cx=15.5, cy=11.5)
+    lv = LiveViewer(str(tmp_path), intr, freq=1, port=0)
+    try:
+        est = np.tile(np.eye(4, dtype=np.float32), (3, 1, 1))
+        gt = est.copy()
+        est[2, :3, 3] += 0.01
+        assert lv.update(2, 3, est, gt)
+        with urllib.request.urlopen(
+                f'http://localhost:{lv.port}/status.json', timeout=10) as r:
+            status = json.loads(r.read())
+        assert abs(status['pose_err_vs_gt_m'] - 0.01 * 3 ** 0.5) < 1e-4
+        with urllib.request.urlopen(
+                f'http://localhost:{lv.port}/index.html', timeout=10) as r:
+            assert b'traj.png' in r.read()
+    finally:
+        lv.close()
