@@ -61,6 +61,17 @@ class MapperConfig(NamedTuple):
     fix_fine: bool = True
     fix_color: bool = False
     train_middle: bool = False   # from-scratch extension (no pretrain blobs)
+    # Upper bound on rays rendered per pass inside one mapping iteration
+    # (0 = render the whole window batch at once).  When the window's ray
+    # count exceeds it, the render+loss runs as a lax.map over frame
+    # groups with the gradient accumulating across groups — identical
+    # math (draws, the global far-clamp max and the loss sum are all
+    # computed outside the chunking) up to f32 summation order.  Used to
+    # (a) bound live memory and (b) work around a current-stack XLA/TPU
+    # codegen fault: iMAP-budget programs with >=5000 rays/pass fault
+    # with UNAVAILABLE on v5e (2026-08-21; <=4000-ray programs and the
+    # identical un-scanned body run fine — see BASELINE.md).
+    max_rays_per_pass: int = 0
     frustum_selection: bool = True
     keyframe_every: int = 50
     window_size: int = 5
@@ -236,31 +247,76 @@ def build_stage_losses(*, model: SceneModel, rcfg: RenderConfig,
                 )(frame_keys)
                 # flatten [F, P] -> [F*P], keeping any raw-key trailing axis
                 ray_keys = ray_keys.reshape((-1,) + ray_keys.shape[2:])
-            depth, var, color, _ = render_rays(
-                params, grids, o, d, stage=stage, model=model, rcfg=rcfg,
-                gt_depth=(d_render if use_depth else None), key=key,
-                d_max=d_max, ray_keys=ray_keys)
-            depth_mask = (dgt > 0) & inside
-            loss = jnp.sum(jnp.where(depth_mask, jnp.abs(dgt - depth), 0.0))
-            if (not nice) or stage == 'color':
-                col_l = jnp.sum(jnp.where(inside[:, None],
-                                          jnp.abs(cgt - color), 0.0))
-                loss = loss + mcfg.w_color_loss * col_l
-            if not rcfg.occupancy:  # iMAP free-space regulation (:616-621)
-                # per-FRAME keys (derived from frame_keys), so the
-                # keyframe-sharded step's regulation draws are identical
-                # to the replicated step's — same contract as the pixel
-                # draws (parallel/distributed.py)
-                reg_keys = jax.vmap(
-                    lambda kk: jax.random.fold_in(kk, 7))(frame_keys)
-                sigma = regulation_sigma_batched(
-                    params, grids,
-                    o.reshape(n_frames, pix_per_frame, 3),
-                    d.reshape(n_frames, pix_per_frame, 3),
-                    d_render.reshape(n_frames, pix_per_frame),
-                    model=model, rcfg=rcfg, keys=reg_keys, stage=stage)
-                loss = loss + 0.0005 * jnp.sum(jnp.abs(sigma))
-            return loss
+
+            def render_loss(o, d, dgt, cgt, inside, d_render, ray_keys,
+                            frame_keys, n_f):
+                """Render `n_f` frames' rays and sum their loss terms.
+                Everything window-global (draws, d_max) is already fixed
+                by the enclosing scope, so the window loss is the sum of
+                these per-group losses regardless of grouping."""
+                depth, var, color, _ = render_rays(
+                    params, grids, o, d, stage=stage, model=model,
+                    rcfg=rcfg,
+                    gt_depth=(d_render if use_depth else None), key=key,
+                    d_max=d_max, ray_keys=ray_keys)
+                depth_mask = (dgt > 0) & inside
+                loss = jnp.sum(jnp.where(depth_mask,
+                                         jnp.abs(dgt - depth), 0.0))
+                if (not nice) or stage == 'color':
+                    col_l = jnp.sum(jnp.where(inside[:, None],
+                                              jnp.abs(cgt - color), 0.0))
+                    loss = loss + mcfg.w_color_loss * col_l
+                if not rcfg.occupancy:  # iMAP free-space reg (:616-621)
+                    # per-FRAME keys (derived from frame_keys), so the
+                    # keyframe-sharded step's regulation draws are
+                    # identical to the replicated step's — same contract
+                    # as the pixel draws (parallel/distributed.py)
+                    reg_keys = jax.vmap(
+                        lambda kk: jax.random.fold_in(kk, 7))(frame_keys)
+                    sigma = regulation_sigma_batched(
+                        params, grids,
+                        o.reshape(n_f, pix_per_frame, 3),
+                        d.reshape(n_f, pix_per_frame, 3),
+                        d_render.reshape(n_f, pix_per_frame),
+                        model=model, rcfg=rcfg, keys=reg_keys, stage=stage)
+                    loss = loss + 0.0005 * jnp.sum(jnp.abs(sigma))
+                return loss
+
+            groups = 1
+            if mcfg.max_rays_per_pass:
+                groups = -(-n_frames * pix_per_frame
+                           // mcfg.max_rays_per_pass)
+                while n_frames % groups:   # groups must tile the window
+                    groups += 1
+            if groups == 1:
+                return render_loss(o, d, dgt, cgt, inside, d_render,
+                                   ray_keys, frame_keys, n_frames)
+
+            # render in frame groups under lax.map: the backward pass then
+            # also runs group-at-a-time (gradient accumulation), bounding
+            # both live memory and the per-pass kernel sizes (see
+            # max_rays_per_pass)
+            n_f = n_frames // groups
+
+            def regroup(x):
+                return x.reshape((groups, -1) + x.shape[1:]) \
+                    if x is not None else None
+
+            mapped = dict(
+                o=regroup(o), d=regroup(d), dgt=regroup(dgt),
+                cgt=regroup(cgt), inside=regroup(inside),
+                d_render=regroup(d_render),
+                frame_keys=frame_keys.reshape(
+                    (groups, n_f) + frame_keys.shape[1:]))
+            if ray_keys is not None:
+                mapped['ray_keys'] = regroup(ray_keys)
+
+            def group_loss(a):
+                return render_loss(a['o'], a['d'], a['dgt'], a['cgt'],
+                                   a['inside'], a['d_render'],
+                                   a.get('ray_keys'), a['frame_keys'], n_f)
+
+            return jnp.sum(jax.lax.map(group_loss, mapped))
 
         return loss_fn
 

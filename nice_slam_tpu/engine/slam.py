@@ -118,6 +118,7 @@ def mapper_config_from_cfg(cfg: dict, *, coarse_mapper: bool = False
         color_refine=bool(m['color_refine']),
         stage_lr=stage_lr,
         imap_decoders_lr=float(m.get('imap_decoders_lr', 0.0002)),
+        max_rays_per_pass=int(m.get('max_rays_per_pass', 0)),
         coarse_mapper=coarse_mapper)
 
 
@@ -181,6 +182,12 @@ class SlamSystem:
         self.gcfg: GridConfig = cfgutil.grid_config_from_cfg(cfg)
         self.tcfg = tracker_config_from_cfg(cfg)
         self.mcfg = mapper_config_from_cfg(cfg)
+        if (not nice and self.mcfg.max_rays_per_pass == 0
+                and jax.default_backend() == 'tpu'):
+            # current-stack workaround (see MapperConfig.max_rays_per_pass):
+            # iMAP-budget mapping programs with >=5000 rays/pass fault on
+            # v5e; chunk to <=4096 rays unless the config says otherwise
+            self.mcfg = self.mcfg._replace(max_rays_per_pass=4096)
         self.coarse_enabled = bool(cfg['coarse']) and nice
         if self.coarse_enabled:
             self.coarse_mcfg = mapper_config_from_cfg(cfg, coarse_mapper=True)

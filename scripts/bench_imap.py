@@ -49,7 +49,8 @@ def main():
                         occupancy=False, perturb=0.0)
     mcfg = M.MapperConfig(pixels=MAP_PIXELS, iters=n_map_iters, ba=True,
                           window_size=N_FRAMES, keyframe_selection='global',
-                          w_color_loss=0.1)
+                          w_color_loss=0.1,
+                          max_rays_per_pass=4096)
 
     key = jax.random.PRNGKey(0)
     params = init_imap_decoder(key, dcfg)

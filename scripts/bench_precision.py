@@ -43,7 +43,8 @@ def time_imap(n_iters, mm_precision):
     n_frames, pixels = 5, 5000
     mcfg = M.MapperConfig(pixels=pixels, iters=n_iters, ba=True,
                           window_size=n_frames, keyframe_selection='global',
-                          w_color_loss=0.1)
+                          w_color_loss=0.1,
+                          max_rays_per_pass=4096)
     key = jax.random.PRNGKey(0)
     params = init_imap_decoder(key, dcfg)
     step = M.make_map_step(model=model, rcfg=rcfg, mcfg=mcfg, intr=intr,
