@@ -174,25 +174,42 @@ def main():
     # dominant data movement): read C + write 8C per voxel per stage
     # volume.  This program's compile draw has varied 7x (BENCH_r02:
     # 103 GB/s vs 770 GB/s) — re-roll like the orchestrator's
-    # grid-expand autotune (engine/slam._tracking_snapshot).
+    # grid-expand autotune (engine/slam._tracking_snapshot).  A good
+    # binary finishes in ~0.3 ms — far under the ~2-5 ms (and variable)
+    # dispatch latency of this stack — so N expansions are batched INSIDE
+    # one jit call (per-iteration input perturbation defeats CSE) and the
+    # per-expansion time comes out of the batched wall clock.
+    n_rep = 10
+
+    def expand_many(g, salt):
+        def body(i, acc):
+            gg = jax.tree.map(
+                lambda x: x + (jnp.float32(i) + salt) * 1e-30, g)
+            out = prepare_grids(gg, model.grid_shapes, stage='color')
+            # consume one element of EVERY output volume so no per-stage
+            # expansion kernel is dead-code-eliminated
+            return acc + sum(v.ravel()[0] for v in jax.tree.leaves(out))
+        return jax.lax.fori_loop(0, n_rep, body, jnp.float32(0.0))
+
+    e_out = jax.eval_shape(
+        lambda g: prepare_grids(g, model.grid_shapes, stage='color'), grids)
+    out_bytes = sum(np.prod(v.shape) * 4 for v in jax.tree.leaves(e_out))
+    in_bytes = sum(np.prod(v.shape) * 4 for v in jax.tree.leaves(grids))
     expand_gbps = 0.0
     for salt in range(4):
-        expand_fn = jax.jit(
-            lambda g, s=salt: prepare_grids(
-                jax.tree.map(lambda x: x + jnp.float32(s) * 0.0, g),
-                model.grid_shapes, stage='color'))
-        e_out = jax.block_until_ready(expand_fn(grids))
-        out_bytes = sum(np.prod(v.shape) * 4
-                        for v in jax.tree.leaves(e_out))
-        in_bytes = sum(np.prod(v.shape) * 4 for v in jax.tree.leaves(grids))
+        expand_fn = jax.jit(lambda g, s=jnp.float32(salt): expand_many(g, s))
+        jax.block_until_ready(expand_fn(grids))   # compile + warm
         t0 = time.perf_counter()
-        for _ in range(20):
-            e_out = expand_fn(grids)
-        jax.block_until_ready(e_out)
-        expand_s = max((time.perf_counter() - t0) / 20 - dispatch_s, 1e-9)
+        for _ in range(5):
+            acc = expand_fn(grids)
+        jax.block_until_ready(acc)
+        wall = (time.perf_counter() - t0) / 5
+        expand_s = max((wall - dispatch_s) / n_rep, 1e-9)
         expand_gbps = max(expand_gbps,
                           (in_bytes + out_bytes) / expand_s / 1e9)
-        if expand_gbps > 0.5 * HBM_PEAK_GBPS:
+        # a good binary sustains ~245 GB/s (~0.30 peak) on this batched
+        # measurement; the bad draws seen in BENCH_r02 were ~4x lower
+        if expand_gbps > 0.25 * HBM_PEAK_GBPS:
             break
 
     return {

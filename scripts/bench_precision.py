@@ -84,8 +84,8 @@ def orbit_ate(mm_precision, n_frames=8):
     out = f'/tmp/nstpu_prec_{mm_precision or "none"}'
     slam = SlamSystem(cfg, nice=True, output=out, seed=0)
     slam.run()
-    est = np.asarray(slam.estimate_c2w_list)[:n_frames]
-    gt = np.asarray(slam.gt_c2w_list)[:n_frames]
+    est = np.asarray(slam.estimate_c2w)[:n_frames]
+    gt = np.asarray(slam.gt_c2w)[:n_frames]
     return float(np.mean(np.linalg.norm(est[1:, :3, 3] - gt[1:, :3, 3],
                                         axis=-1)))
 

@@ -44,7 +44,11 @@ def main():
     # fine 0.16 (configs/TUM_RGBD/freiburg1_desk.yaml, tum.yaml)
     bound = round_bound([[-3.5, 3.0], [-3.0, 3.0], [-3.0, 3.0]], 0.32)
     gcfg = GridConfig(bound=bound)
-    dcfg = DecoderConfig()
+    # NSTPU_MM_PRECISION scopes a cheaper matmul precision to the decoder
+    # stack (DecoderConfig.mm_precision; scripts/bench_precision.py
+    # measured bf16 at 2x f32 on the iMAP MLP with no e2e accuracy loss)
+    dcfg = DecoderConfig(
+        mm_precision=os.environ.get('NSTPU_MM_PRECISION') or None)
     rcfg = RenderConfig(n_samples=32, n_surface=16)
     intr = Intrinsics(H=384, W=512, fx=517.3 * 512 / 640, fy=516.5 * 384
                       / 480, cx=255.5, cy=191.5)
