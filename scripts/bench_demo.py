@@ -8,7 +8,10 @@ every 10 frames (window 10), coarse mapper, sync_method loose, 256^3 mesh
 every 50 frames, checkpoint at the end — on 500 synthetic 480x640 frames
 and reports total wall time including compiles.
 
-Usage: python scripts/bench_demo.py [n_frames] [--pretrained]
+Usage: python scripts/bench_demo.py [n_frames] [--pretrained] [--sync=MODE]
+
+--sync overrides the Demo config's loose sync (strict isolates whether the
+back-half pose drift is a sync-staleness effect or a budget limit)
 
 --pretrained consumes the repo blobs (pretrained/coarse.pt,
 pretrained/middle_fine.pt, written by tools/pretrain_decoders.py) in the
@@ -27,14 +30,14 @@ sys.path.insert(0, os.path.join(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__))), 'tests'))
 
 
-def main(n_frames=500, pretrained=False):
+def main(n_frames=500, pretrained=False, sync='loose'):
     import numpy as np
     from util import make_test_cfg
 
     from nice_slam_tpu.engine.slam import SlamSystem
 
     cfg = make_test_cfg(n_frames=n_frames, h=480, w=640)
-    cfg['sync_method'] = 'loose'
+    cfg['sync_method'] = sync
     cfg['debug'] = {}
     cfg['synthetic']['n_frames'] = n_frames
     cfg['meshing']['resolution'] = 256
@@ -65,6 +68,7 @@ def main(n_frames=500, pretrained=False):
     print(json.dumps({
         'metric': 'demo_500_wall_s',
         'pretrained': pretrained,
+        'sync': sync,
         'value': round(total_s, 1),
         'unit': 's',
         'frames': n_frames,
@@ -76,6 +80,14 @@ def main(n_frames=500, pretrained=False):
 
 
 if __name__ == '__main__':
-    args = [a for a in sys.argv[1:] if a != '--pretrained']
+    sync = 'loose'
+    args = []
+    for a in sys.argv[1:]:
+        if a == '--pretrained':
+            continue
+        if a.startswith('--sync='):
+            sync = a.split('=', 1)[1]
+            continue
+        args.append(a)
     main(int(args[0]) if args else 500,
-         pretrained='--pretrained' in sys.argv)
+         pretrained='--pretrained' in sys.argv, sync=sync)

@@ -237,3 +237,69 @@ def test_sample_pdf_matches_reference_det(setup):
     ours = np.asarray(sample_pdf(jax.random.PRNGKey(0), jnp.asarray(bins),
                                  jnp.asarray(weights), 12, det=True))
     np.testing.assert_allclose(ours, ref, atol=2e-4, rtol=1e-4)
+
+
+def test_render_batch_ray_matches_reference(setup):
+    """END-TO-END renderer differential: the reference's
+    Renderer.render_batch_ray (torch, CPU) against our render_rays on
+    identical decoder weights, grids and rays — one check covering
+    near/far construction, the 32+16 stratified+surface sampling
+    (including depth-zero rays' uniform sweep), the sort-merge, the color
+    stage dispatch, out-of-bound occ=100 and alpha compositing
+    (/root/reference/src/utils/Renderer.py:95-262).  Runs both with
+    sensor depth and without (the gt_depth=None near=0.01 branch)."""
+    import torch
+    import jax.numpy as jnp
+    from types import SimpleNamespace
+    from src.utils.Renderer import Renderer
+    from src.conv_onet.models.decoder import NICE
+    from nice_slam_tpu.render.renderer import (
+        RenderConfig, SceneModel, render_rays)
+
+    s = setup
+    nice = NICE(coarse=True)
+    nice.middle_decoder = s['torch_dec']['middle']
+    nice.fine_decoder = s['torch_dec']['fine']
+    nice.color_decoder = s['torch_dec']['color']
+    nice.coarse_decoder = s['torch_dec']['coarse']
+
+    cfg = {'rendering': {'lindisp': False, 'perturb': 0.0, 'N_samples': 32,
+                         'N_surface': 16, 'N_importance': 0},
+           'scale': 1, 'occupancy': True}
+    bound_t = torch.tensor(np.asarray(s['gcfg'].bound_np))
+    slam = SimpleNamespace(nice=True, bound=bound_t, H=24, W=32, fx=16.0,
+                           fy=16.0, cx=15.5, cy=11.5)
+    ref_r = Renderer(cfg, None, slam)
+
+    rng = np.random.default_rng(5)
+    n = 64
+    o = np.tile(np.array([0.2, 0.1, 0.2], dtype=np.float32), (n, 1))
+    d = rng.normal(size=(n, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    gt = (0.4 + 0.8 * rng.random(n)).astype(np.float32)
+    gt[::7] = 0.0               # depth-zero rays exercise the sweep branch
+
+    model = SceneModel(kind='nice', decoder=s['dcfg'],
+                       bound=jnp.asarray(s['gcfg'].bound_np),
+                       coarse_bound=jnp.asarray(s['gcfg'].coarse_bound_np),
+                       grid_shapes=tuple(sorted(s['shapes'].items())),
+                       expanded=False)
+    rcfg = RenderConfig(n_samples=32, n_surface=16)
+
+    for depth_in in (gt, None):
+        with torch.no_grad():
+            ref_depth, ref_unc, ref_color = ref_r.render_batch_ray(
+                s['c_grid'], nice, torch.tensor(d), torch.tensor(o), 'cpu',
+                'color',
+                None if depth_in is None else torch.tensor(depth_in))
+        depth, var, color, _ = render_rays(
+            s['params'], s['grids'], jnp.asarray(o), jnp.asarray(d),
+            stage='color', model=model, rcfg=rcfg,
+            gt_depth=None if depth_in is None else jnp.asarray(depth_in))
+        tag = 'no-depth' if depth_in is None else 'with-depth'
+        np.testing.assert_allclose(np.asarray(depth), ref_depth.numpy(),
+                                   atol=1e-3, rtol=1e-3, err_msg=tag)
+        np.testing.assert_allclose(np.asarray(var), ref_unc.numpy(),
+                                   atol=1e-3, rtol=1e-3, err_msg=tag)
+        np.testing.assert_allclose(np.asarray(color), ref_color.numpy(),
+                                   atol=1e-3, rtol=1e-3, err_msg=tag)
