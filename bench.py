@@ -32,6 +32,12 @@ BASELINE_TRACKED_FPS = 2.8
 HBM_PEAK_GBPS = 819.0   # TPU v5e per-chip HBM bandwidth
 
 
+def _timed(f):
+    t0 = time.perf_counter()
+    f()
+    return time.perf_counter() - t0
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -172,14 +178,17 @@ def main():
 
     # achieved HBM bandwidth of the corner-expansion (the gather-path's
     # dominant data movement): read C + write 8C per voxel per stage
-    # volume.  This program's compile draw has varied 7x (BENCH_r02:
-    # 103 GB/s vs 770 GB/s) — re-roll like the orchestrator's
-    # grid-expand autotune (engine/slam._tracking_snapshot).  A good
-    # binary finishes in ~0.3 ms — far under the ~2-5 ms (and variable)
-    # dispatch latency of this stack — so N expansions are batched INSIDE
-    # one jit call (per-iteration input perturbation defeats CSE) and the
-    # per-expansion time comes out of the batched wall clock.
-    n_rep = 10
+    # volume.  Measurement notes for this stack (all verified round 3):
+    #   * `jax.block_until_ready` does NOT reliably synchronize with
+    #     device execution for small programs here — a value fetch
+    #     (float()) is the only trustworthy barrier;
+    #   * that fetch costs a FLAT ~26 ms tunnel round-trip, so the
+    #     kernel (~0.4 ms) is amortized over n_rep in-program
+    #     repetitions and the separately measured fetch baseline is
+    #     subtracted;
+    #   * the compile draw still varies — re-roll on a slow draw like
+    #     the orchestrator's grid-expand autotune.
+    n_rep = 100
 
     def expand_many(g, salt):
         def body(i, acc):
@@ -191,6 +200,11 @@ def main():
             return acc + sum(v.ravel()[0] for v in jax.tree.leaves(out))
         return jax.lax.fori_loop(0, n_rep, body, jnp.float32(0.0))
 
+    # fetch-barrier baseline: trivial program + the same float() fetch
+    tiny_fn = jax.jit(lambda v: jnp.sum(v) * 0.0)
+    float(tiny_fn(tiny))
+    fetch_s = min(_timed(lambda: float(tiny_fn(tiny))) for _ in range(5))
+
     e_out = jax.eval_shape(
         lambda g: prepare_grids(g, model.grid_shapes, stage='color'), grids)
     out_bytes = sum(np.prod(v.shape) * 4 for v in jax.tree.leaves(e_out))
@@ -198,18 +212,15 @@ def main():
     expand_gbps = 0.0
     for salt in range(4):
         expand_fn = jax.jit(lambda g, s=jnp.float32(salt): expand_many(g, s))
-        jax.block_until_ready(expand_fn(grids))   # compile + warm
-        t0 = time.perf_counter()
-        for _ in range(5):
-            acc = expand_fn(grids)
-        jax.block_until_ready(acc)
-        wall = (time.perf_counter() - t0) / 5
-        expand_s = max((wall - dispatch_s) / n_rep, 1e-9)
+        float(expand_fn(grids))   # compile + warm
+        wall = min(_timed(lambda: float(expand_fn(grids)))
+                   for _ in range(3))
+        expand_s = max((wall - fetch_s) / n_rep, 1e-9)
         expand_gbps = max(expand_gbps,
                           (in_bytes + out_bytes) / expand_s / 1e9)
-        # a good binary sustains ~245 GB/s (~0.30 peak) on this batched
-        # measurement; the bad draws seen in BENCH_r02 were ~4x lower
-        if expand_gbps > 0.25 * HBM_PEAK_GBPS:
+        # a good binary sustains ~380 GB/s (~0.47 peak); bad draws have
+        # measured ~4x lower
+        if expand_gbps > 0.35 * HBM_PEAK_GBPS:
             break
 
     return {
