@@ -138,3 +138,80 @@ def test_frustum_mask_matches_reference():
         assert agree > 0.995, (name, agree, ours.sum(), ref_flat.sum())
         # and the selection is non-trivial (sees part of the grid)
         assert 0.05 < ours.mean() < 0.95, ours.mean()
+
+
+def test_keyframe_overlap_selection_matches_reference():
+    """Keyframe co-visibility selection vs the reference's
+    keyframe_selection_overlap (Mapper.py:189-293) with the SAME sparse
+    pixel draw injected into both sides.
+
+    Note the reference's semantics: rank by percent-inside, filter > 0,
+    then take a uniformly random k of the NONZERO set (the permutation
+    runs over the whole filtered list) — so the comparable invariant is
+    the nonzero candidate SET, which must match exactly.  Our
+    select_overlap reproduces those semantics with its np.random
+    Generator."""
+    import torch
+    import src.Mapper as ref_mapper
+    from src.common import get_rays_from_uv
+    from nice_slam_tpu.core.cameras import Intrinsics
+    from nice_slam_tpu.engine.keyframes import Keyframe, KeyframeStore
+
+    h, w = 48, 64
+    intr = Intrinsics(H=h, W=w, fx=32.0, fy=32.0, cx=31.5, cy=23.5)
+    rng_master = np.random.default_rng(7)
+    depth_np = (0.6 + rng_master.random((h, w)) * 1.2).astype(np.float32)
+    color_np = rng_master.random((h, w, 3)).astype(np.float32)
+
+    def pose(tx, ang):
+        m = np.eye(4, dtype=np.float32)
+        m[:3, :3] = np.array([[np.cos(ang), 0, np.sin(ang)], [0, 1, 0],
+                              [-np.sin(ang), 0, np.cos(ang)]], np.float32)
+        m[:3, 3] = [tx, 0.0, 0.0]
+        return m
+
+    # keyframes spread from strongly-overlapping to facing away
+    kf_poses = [pose(0.05 * i, 0.25 * i) for i in range(8)]
+    kf_poses.append(pose(0.0, np.pi))          # behind: zero overlap
+    cur_c2w = pose(0.02, 0.1)
+
+    # OUR side: a seeded generator; its pixel draw is reproducible
+    seed = 1234
+    store = KeyframeStore()
+    for i, p in enumerate(kf_poses):
+        store.append(Keyframe(idx=i, color=color_np, depth=depth_np,
+                              est_c2w=p, gt_c2w=p))
+    store.append(Keyframe(idx=99, color=color_np, depth=depth_np,
+                          est_c2w=cur_c2w, gt_c2w=cur_c2w))  # newest: excluded
+    ours = store.select_overlap(np.random.default_rng(seed), k=100,
+                                gt_depth=depth_np, c2w=cur_c2w, intr=intr)
+
+    # REFERENCE side: stub get_samples to draw the SAME pixels
+    flat = np.random.default_rng(seed).integers(0, h * w, size=100)
+    jj = torch.tensor((flat // w).astype(np.float32))
+    ii = torch.tensor((flat % w).astype(np.float32))
+
+    def stub_get_samples(H0, H1, W0, W1, n, H, W, fx, fy, cx, cy, c2w,
+                         depth, color, device):
+        rays_o, rays_d = get_rays_from_uv(ii, jj, c2w, H, W, fx, fy, cx,
+                                          cy, device)
+        return (rays_o, rays_d, depth[jj.long(), ii.long()],
+                color[jj.long(), ii.long()])
+
+    orig = ref_mapper.get_samples
+    ref_mapper.get_samples = stub_get_samples
+    try:
+        fake = SimpleNamespace(device='cpu', H=h, W=w, fx=intr.fx,
+                               fy=intr.fy, cx=intr.cx, cy=intr.cy)
+        kf_dict = [{'est_c2w': torch.tensor(p)} for p in kf_poses]
+        ref = ref_mapper.Mapper.keyframe_selection_overlap(
+            fake, torch.tensor(color_np), torch.tensor(depth_np),
+            torch.tensor(cur_c2w), kf_dict, k=100)
+    finally:
+        ref_mapper.get_samples = orig
+
+    assert set(int(i) for i in ours) == set(int(i) for i in ref), \
+        (sorted(ours), sorted(int(i) for i in ref))
+    # the facing-away keyframe must be excluded, the near-identical ones in
+    assert 8 not in set(int(i) for i in ours)
+    assert 0 in set(int(i) for i in ours)
