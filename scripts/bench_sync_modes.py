@@ -44,12 +44,17 @@ def run_mode(mode, n_frames):
 
     t_err = np.linalg.norm(
         slam.estimate_c2w[:, :3, 3] - slam.gt_c2w[:, :3, 3], axis=-1)
+    # Horn-aligned ATE RMSE — the statistic the paper reports
+    from nice_slam_tpu.eval.ate import evaluate_ate
+    ate = evaluate_ate(slam.estimate_c2w, slam.gt_c2w)
     return {
         'mode': mode,
         'wall_s': round(wall, 1),
         'fps_incl_compiles': round(n_frames / wall, 2),
         'max_terr_m': round(float(t_err.max()), 4),
         'mean_terr_m': round(float(t_err.mean()), 4),
+        'ate_rmse_m': round(
+            float(ate['absolute_translational_error.rmse']), 5),
         **slam.timers.summary(),
     }
 
