@@ -15,6 +15,7 @@ run() {
 run python scripts/bench_tum.py                     # f32 row
 NSTPU_MM_PRECISION=bfloat16 run python scripts/bench_tum.py   # bf16 row
 run python scripts/bench_imap.py 100
+run python scripts/bench_imap_e2e.py
 run python scripts/bench_precision.py 60
 run python bench.py
 run python bench.py
