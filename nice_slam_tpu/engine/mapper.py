@@ -284,6 +284,15 @@ def build_stage_losses(*, model: SceneModel, rcfg: RenderConfig,
 
             groups = 1
             if mcfg.max_rays_per_pass:
+                if pix_per_frame > mcfg.max_rays_per_pass:
+                    # frame granularity is the finest split the grouping
+                    # supports; anything finer needs intra-frame chunking
+                    # which would change the per-frame draw/clamp semantics
+                    raise ValueError(
+                        f'mapping.max_rays_per_pass={mcfg.max_rays_per_pass} '
+                        f'is below the per-frame ray count '
+                        f'({pix_per_frame}); raise it to at least '
+                        f'pixels/window or disable it (0)')
                 groups = -(-n_frames * pix_per_frame
                            // mcfg.max_rays_per_pass)
                 while n_frames % groups:   # groups must tile the window

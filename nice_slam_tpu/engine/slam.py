@@ -246,6 +246,7 @@ class SlamSystem:
         self._track_fn = None
         self._map_fns: dict[tuple, Any] = {}
         self._dispatch_s = None
+        self._fetch_base_s = None
         # corner-expanded grids for tracking, reused across the frames
         # between two mapping calls (the grids only change when a mapping
         # call commits; re-expanding per tracked frame costs ~1-2 ms/frame)
@@ -529,19 +530,54 @@ class SlamSystem:
             self._last_panel = panel or self._last_panel
         return c2w
 
+    @staticmethod
+    def _fetch(out) -> float:
+        """Value-fetch barrier: `jax.block_until_ready` does NOT reliably
+        synchronize with device execution for small programs on this stack
+        (BASELINE.md measurement hazards); only a value fetch is a
+        trustworthy barrier.  Consumes one scalar of the first leaf."""
+        leaf = jax.tree.leaves(out)[0]
+        return float(jnp.ravel(leaf)[0])
+
+    def _fetch_baseline(self) -> float:
+        """Flat cost of the fetch barrier (~26 ms tunnel round-trip on
+        axon, regardless of size): one trivial dispatch + scalar fetch,
+        min over trials.  Subtracted from every probe wall time."""
+        if self._fetch_base_s is None:
+            tiny = jnp.zeros((8,))
+            tiny_fn = jax.jit(lambda v: jnp.sum(v) * 0.0)
+            float(tiny_fn(tiny))   # compile + warm
+            best = float('inf')
+            for _ in range(5):
+                t0 = time.perf_counter()
+                float(tiny_fn(tiny))
+                best = min(best, time.perf_counter() - t0)
+            self._fetch_base_s = best
+        return self._fetch_base_s
+
     def _dispatch_latency(self) -> float:
         """Per-call dispatch latency of this stack (the axon tunnel costs
         ~2.5 ms per dispatch); measured once, used by the autotune probes
-        to separate kernel time from launch overhead."""
+        to separate kernel time from launch overhead.  Derived as the
+        slope between a 10-call chain and a 1-call chain, each closed by
+        a value fetch, so the flat fetch cost cancels."""
         if self._dispatch_s is None:
-            tiny = jnp.zeros((8,))
             noop = jax.jit(lambda x: x + 1.0)
-            jax.block_until_ready(noop(tiny))
-            t0 = time.perf_counter()
-            for _ in range(10):
-                out = noop(tiny)
-            jax.block_until_ready(out)
-            self._dispatch_s = (time.perf_counter() - t0) / 10
+            x = noop(jnp.zeros((8,)))
+            float(x[0])            # compile + warm
+
+            def chain(n):
+                best = float('inf')
+                for _ in range(3):
+                    y = x
+                    t0 = time.perf_counter()
+                    for _ in range(n):
+                        y = noop(y)
+                    float(y[0])
+                    best = min(best, time.perf_counter() - t0)
+                return best
+
+            self._dispatch_s = max((chain(10) - chain(1)) / 9, 1e-4)
         return self._dispatch_s
 
     def _autotune(self, build, example_args, threshold_s, candidates, tag,
@@ -554,17 +590,23 @@ class SlamSystem:
         returns a freshly jitted program (a new jit wrapper re-rolls the
         in-process compile; the salt additionally perturbs the
         persistent-cache key where that cache is enabled).  Each candidate
-        is timed on `example_args`; the best is kept, stopping early once
-        a draw beats `threshold_s`."""
+        is timed on `example_args` behind a value-fetch barrier (see
+        `_fetch` — block_until_ready under-reports small programs on this
+        stack) with the flat fetch cost subtracted; the best is kept,
+        stopping early once a draw beats `threshold_s`."""
+        base_s = self._fetch_baseline()
         best_fn, best_t = None, float('inf')
         for s in range(candidates):
             fn = build(s)
-            jax.block_until_ready(fn(*example_args))   # compile + warm
-            t0 = time.perf_counter()
-            for _ in range(reps):
-                out = fn(*example_args)
-            jax.block_until_ready(out)
-            dt = (time.perf_counter() - t0) / reps
+            self._fetch(fn(*example_args))   # compile + warm
+            dt = float('inf')
+            for _ in range(2):
+                t0 = time.perf_counter()
+                for _ in range(reps):
+                    out = fn(*example_args)
+                self._fetch(out)
+                dt = min(dt, (time.perf_counter() - t0 - base_s) / reps)
+            dt = max(dt, 1e-6)
             if dt < best_t:
                 best_fn, best_t = fn, dt
             if best_t <= threshold_s:

@@ -14,6 +14,8 @@ All distances reported in centimeters (x100) like the reference.
 
 from __future__ import annotations
 
+import warnings
+
 import numpy as np
 
 from nice_slam_tpu.mesh.native import rasterize_depth
@@ -153,13 +155,19 @@ def _sees_points(points, w, h, fx, fy, cx, cy, c2w) -> bool:
 def reference_view_sampler(gt_verts: np.ndarray, rng,
                            unseen_pts: np.ndarray | None = None,
                            w: int = 500, h: int = 500,
-                           focal: float = 300.0, max_tries: int = 200):
+                           focal: float = 300.0, max_tries: int = 200,
+                           stats: dict | None = None):
     """Generator of c2w views with the REFERENCE'S view measure
     (eval_recon.py:152-178): camera origins uniform in the GT mesh's
     shrunk oriented bounding box (x extent x0.3, y/z x0.7, +0.4 lift),
     looking at a uniform random far target with up=[0,0,-1], rejecting any
     view that sees a point of `unseen_pts` (the culled GT mesh's unseen
     companion cloud) — so depth-L1 numbers are comparable to the paper's.
+
+    The reference resamples unboundedly (`while True`); we cap at
+    `max_tries` per view.  When the cap is exhausted the yielded view DOES
+    see unseen points — that degrades comparability to the paper's number,
+    so it is warned about and counted in `stats['rejection_exhausted']`.
     """
     to_origin, extents = oriented_bounds(gt_verts)
     extents = extents * np.array([0.3, 0.7, 0.7])
@@ -168,6 +176,7 @@ def reference_view_sampler(gt_verts: np.ndarray, rng,
     cx = w / 2.0 - 0.5
     cy = h / 2.0 - 0.5
     while True:
+        accepted = False
         for _ in range(max_tries):
             local = (rng.random(3) - 0.5) * extents
             origin = transform[:3, :3] @ local + transform[:3, 3]
@@ -175,7 +184,17 @@ def reference_view_sampler(gt_verts: np.ndarray, rng,
             c2w = _viewmatrix(target, np.array([0.0, 0.0, -1.0]), origin)
             if unseen_pts is None or not _sees_points(
                     unseen_pts, w, h, focal, focal, cx, cy, c2w):
+                accepted = True
                 break
+        if not accepted:
+            if stats is not None:
+                stats['rejection_exhausted'] = \
+                    stats.get('rejection_exhausted', 0) + 1
+            warnings.warn(
+                f'reference_view_sampler: no unseen-free view in '
+                f'{max_tries} tries; yielding a view that sees unseen '
+                f'points (depth-L1 may read high vs the reference)',
+                stacklevel=2)
         yield c2w
 
 
@@ -228,8 +247,9 @@ def calc_2d_metric(rec_verts, rec_tris, gt_verts, gt_tris, *,
     errors = []
 
     if view_sampling == 'reference':
+        stats: dict = {}
         views = reference_view_sampler(gt_verts, rng, unseen_pts,
-                                       w=w, h=h, focal=focal)
+                                       w=w, h=h, focal=focal, stats=stats)
         for _ in range(n_imgs):
             w2c = np.linalg.inv(next(views))
             gt_d = rasterize_depth(gt_verts, gt_tris, w2c, focal, focal,
@@ -240,6 +260,7 @@ def calc_2d_metric(rec_verts, rec_tris, gt_verts, gt_tris, *,
         return {
             'depth_l1_cm': float(np.mean(errors) * 100),
             'n_views': len(errors),
+            'views_rejection_exhausted': stats.get('rejection_exhausted', 0),
         }
 
     lo = gt_verts.min(axis=0)

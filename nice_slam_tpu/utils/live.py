@@ -80,10 +80,17 @@ class LiveViewer:
         import functools
         from http.server import SimpleHTTPRequestHandler, ThreadingHTTPServer
 
-        handler = functools.partial(SimpleHTTPRequestHandler,
+        # method lookup resolves on the class, so log_message must be
+        # overridden by subclassing (setting it on a functools.partial
+        # does nothing) — otherwise every 2 s dashboard poll spams stderr
+        class _QuietHandler(SimpleHTTPRequestHandler):
+            def log_message(self, *a, **k):
+                pass
+
+        handler = functools.partial(_QuietHandler,
                                     directory=self.live_dir)
-        handler.log_message = lambda *a, **k: None
-        self._server = ThreadingHTTPServer(('0.0.0.0', port), handler)
+        host = os.environ.get('NSTPU_LIVE_HOST', '127.0.0.1')
+        self._server = ThreadingHTTPServer((host, port), handler)
         t = threading.Thread(target=self._server.serve_forever, daemon=True)
         t.start()
         print(f'INFO: live view at http://localhost:'

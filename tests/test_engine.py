@@ -311,3 +311,27 @@ def test_chunked_map_pass_matches_unchunked_imap():
     # (measured 2.6e-5 after 4 iters on this fixture)
     np.testing.assert_allclose(np.asarray(out_c['cams']),
                                np.asarray(out_r['cams']), atol=1e-4)
+
+
+def test_max_rays_per_pass_below_frame_granularity_raises():
+    """ADVICE r3: max_rays_per_pass below the per-frame ray count used to
+    spin forever in the group-count search (while n_frames % groups);
+    it must raise a clear error instead (frame granularity is the finest
+    split the grouping supports)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import pytest
+    from tests.test_distributed import _setup
+    from nice_slam_tpu.engine.mapper import make_map_step
+
+    (model, rcfg, mcfg, intr, opt_params, frozen, colors, depths,
+     lr_tab, stage_idx, cam_mask, key) = _setup(4, perturb=1.0)
+
+    step = make_map_step(model=model, rcfg=rcfg,
+                         mcfg=mcfg._replace(max_rays_per_pass=8),
+                         intr=intr, n_frames=4, n_iters=mcfg.iters,
+                         pix_per_frame=16)   # 16 rays/frame > 8 cap
+    with pytest.raises(ValueError, match='max_rays_per_pass'):
+        step(opt_params, frozen, None, lr_tab, stage_idx, cam_mask,
+             colors, depths, key)
