@@ -183,10 +183,14 @@ class SlamSystem:
         self.tcfg = tracker_config_from_cfg(cfg)
         self.mcfg = mapper_config_from_cfg(cfg)
         if (not nice and self.mcfg.max_rays_per_pass == 0
-                and jax.default_backend() == 'tpu'):
+                and jax.default_backend() == 'tpu'
+                and os.environ.get('NSTPU_IMAP_FAULT') != '0'):
             # current-stack workaround (see MapperConfig.max_rays_per_pass):
             # iMAP-budget mapping programs with >=5000 rays/pass fault on
-            # v5e; chunk to <=4096 rays unless the config says otherwise
+            # v5e; chunk to <=4096 rays unless the config says otherwise.
+            # `scripts/imap_fault_canary.py` probes whether the stack is
+            # fixed; NSTPU_IMAP_FAULT=0 then restores the unchunked
+            # program (~5% faster mapping).
             self.mcfg = self.mcfg._replace(max_rays_per_pass=4096)
         self.coarse_enabled = bool(cfg['coarse']) and nice
         if self.coarse_enabled:

@@ -186,6 +186,8 @@ def reference_view_sampler(gt_verts: np.ndarray, rng,
                     unseen_pts, w, h, focal, focal, cx, cy, c2w):
                 accepted = True
                 break
+            if stats is not None:
+                stats['rejected_tries'] = stats.get('rejected_tries', 0) + 1
         if not accepted:
             if stats is not None:
                 stats['rejection_exhausted'] = \
@@ -260,6 +262,7 @@ def calc_2d_metric(rec_verts, rec_tris, gt_verts, gt_tris, *,
         return {
             'depth_l1_cm': float(np.mean(errors) * 100),
             'n_views': len(errors),
+            'views_rejected_tries': stats.get('rejected_tries', 0),
             'views_rejection_exhausted': stats.get('rejection_exhausted', 0),
         }
 

@@ -47,10 +47,28 @@ def main():
     model = SceneModel(kind='imap', decoder=dcfg, bound=bound)
     rcfg = RenderConfig(n_samples=32, n_surface=0, n_importance=12,
                         occupancy=False, perturb=0.0)
+    # fault canary (VERDICT r3 #6): probe whether the >=5000-ray scan
+    # fault is fixed on this stack; if so run the original UNCHUNKED
+    # program (recovers the ~5% the chunking workaround costs)
+    chunk = 4096
+    if jax.default_backend() == 'tpu':
+        import json as _json
+        import subprocess as _sp
+        r = _sp.run([sys.executable,
+                     os.path.join(os.path.dirname(os.path.abspath(
+                         __file__)), 'imap_fault_canary.py')],
+                    capture_output=True, text=True, timeout=1200)
+        try:
+            verdict = _json.loads(r.stdout.strip().splitlines()[-1])
+        except Exception:
+            verdict = {'fault': True, 'detail': 'canary unparseable'}
+        print(f'fault canary: {verdict}')
+        if not verdict['fault']:
+            chunk = 0
     mcfg = M.MapperConfig(pixels=MAP_PIXELS, iters=n_map_iters, ba=True,
                           window_size=N_FRAMES, keyframe_selection='global',
                           w_color_loss=0.1,
-                          max_rays_per_pass=4096)
+                          max_rays_per_pass=chunk)
 
     key = jax.random.PRNGKey(0)
     params = init_imap_decoder(key, dcfg)

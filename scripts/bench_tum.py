@@ -40,10 +40,19 @@ def main():
         _plane_bytes, _VMEM_LIMIT_BYTES)
     from nice_slam_tpu.render.renderer import RenderConfig, SceneModel
 
-    # fr1/desk: bound [[-3.5,3],[-3,3],[-3,3]], grid_len middle 0.32 /
-    # fine 0.16 (configs/TUM_RGBD/freiburg1_desk.yaml, tum.yaml)
-    bound = round_bound([[-3.5, 3.0], [-3.0, 3.0], [-3.0, 3.0]], 0.32)
-    gcfg = GridConfig(bound=bound)
+    # fr1/desk: bound [[-4.6,2.6],[-3.3,3.2],[-2.0,4.9]] with grid_len
+    # middle 0.16 / fine+color 0.08 — the reference's ACTUAL TUM grids
+    # (/root/reference/configs/TUM_RGBD/tum.yaml:grid_len,
+    # freiburg1_desk.yaml:mapping.bound).  Rounds r1-r3 benched a
+    # half-resolution stand-in (middle 0.32/fine 0.16, smaller bound);
+    # pass --small to reproduce those rows.
+    if '--small' in sys.argv:
+        bound = round_bound([[-3.5, 3.0], [-3.0, 3.0], [-3.0, 3.0]], 0.32)
+        gcfg = GridConfig(bound=bound)
+    else:
+        bound = round_bound([[-4.6, 2.6], [-3.3, 3.2], [-2.0, 4.9]], 0.32)
+        gcfg = GridConfig(bound=bound, middle_grid_len=0.16,
+                          fine_grid_len=0.08, color_grid_len=0.08)
     # NSTPU_MM_PRECISION scopes a cheaper matmul precision to the decoder
     # stack (DecoderConfig.mm_precision; scripts/bench_precision.py
     # measured bf16 at 2x f32 on the iMAP MLP with no e2e accuracy loss)

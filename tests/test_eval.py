@@ -137,3 +137,52 @@ def test_2d_metric_unseen_rejection():
     for _ in range(10):
         c2w = next(views)
         assert not _sees_points(unseen, 100, 100, 60.0, 60.0, cx, cy, c2w)
+
+
+def test_2d_metric_with_unseen_pts_end_to_end():
+    """VERDICT r3 #7: the full calc_2d_metric reference path with a
+    non-None `unseen_pts` (the reference's check_proj rejection input,
+    eval_recon.py:62-88, 152-178).  The unseen cloud sits in one corner
+    of the room, so a nonzero number of candidate views must get
+    rejected, the metric must still produce n_imgs views, and on
+    identical meshes the depth-L1 must stay exactly 0 (rejection changes
+    WHICH views are sampled, not the measure)."""
+    v, t = _box_mesh()
+    # a never-observed corner region of the synthetic room
+    rng = np.random.default_rng(7)
+    unseen = np.stack([
+        rng.uniform(0.40, 0.5, 40),
+        rng.uniform(0.40, 0.5, 40),
+        rng.uniform(0.40, 0.5, 40)], axis=1)
+    m = calc_2d_metric(v, t, v, t, n_imgs=12, image_size=100, focal=60.0,
+                       unseen_pts=unseen, seed=5)
+    assert m['n_views'] == 12
+    assert m['views_rejected_tries'] > 0, m
+    assert m['views_rejection_exhausted'] == 0, m
+    assert m['depth_l1_cm'] < 1e-6
+
+
+def test_2d_metric_rejection_exhaustion_warns():
+    """When every candidate view sees unseen points (cloud filling the
+    whole room), the sampler must exhaust max_tries, warn, and report the
+    count instead of silently yielding (ADVICE r3).  The room is
+    asymmetric (a cube's PCA-oriented bounding box is degenerate and
+    oversized, letting sampled cameras escape) and sized so the
+    sampler's +0.4 z-lift keeps every camera inside."""
+    import warnings as _w
+    from nice_slam_tpu.mesh.native import marching_tetrahedra
+    n = 32
+    xs = np.linspace(-2.0, 2.0, n)
+    X, Y, Z = np.meshgrid(xs, xs, xs, indexing='ij')
+    field = (1.0 - np.maximum.reduce(
+        [np.abs(X) / 1.1, np.abs(Y) / 1.3, np.abs(Z) / 1.7])).astype(
+            np.float32)
+    v, t = marching_tetrahedra(field, xs, xs, xs, 0.0)
+    # the GT mesh's own vertices: every candidate view sees the walls
+    unseen = v
+    with _w.catch_warnings(record=True) as rec:
+        _w.simplefilter('always')
+        m = calc_2d_metric(v, t, v, t, n_imgs=3, image_size=100,
+                           focal=60.0, unseen_pts=unseen, seed=6)
+    assert m['views_rejection_exhausted'] == 3, m
+    assert any('unseen' in str(r.message) for r in rec)
