@@ -251,6 +251,9 @@ class SlamSystem:
         self._map_fns: dict[tuple, Any] = {}
         self._dispatch_s = None
         self._fetch_base_s = None
+        # tag -> (salt, agreed_time) of the accepted binary, for tests and
+        # the rank-synchronized probe (see _agree_time)
+        self.autotune_choice: dict[str, tuple[int, float]] = {}
         # corner-expanded grids for tracking, reused across the frames
         # between two mapping calls (the grids only change when a mapping
         # call commits; re-expanding per tracked frame costs ~1-2 ms/frame)
@@ -455,9 +458,16 @@ class SlamSystem:
                     if jax.default_backend() != 'tpu' or not enable:
                         self._prepare_tracking = build(0)
                     else:
-                        # threshold from the data actually moved: read the
-                        # grids + write the 8x corner-expanded volumes at
-                        # >=45% of HBM peak, plus dispatch
+                        # threshold from the data actually moved, at 45% of
+                        # HBM peak — DERIVED, not guessed (round 4,
+                        # scripts/studies/proto_expand_roofline.py): this
+                        # stack's pallas pure-copy floor is 0.79 peak; the
+                        # 1-read:8-write widen structure drops to 0.61-0.63;
+                        # the y/z shifts to 0.53; the second (x+1) plane
+                        # read to 0.43-0.46 — the shipped kernel sits AT its
+                        # algorithm's structural floor, so a good binary
+                        # sustains 0.43-0.47 peak and 0.45 separates it
+                        # from the ~4x-slow bad draws
                         out_sd = jax.eval_shape(
                             lambda g: prepare_grids(
                                 g, shapes, enable=enable, stage='color'),
@@ -539,8 +549,13 @@ class SlamSystem:
         """Value-fetch barrier: `jax.block_until_ready` does NOT reliably
         synchronize with device execution for small programs on this stack
         (BASELINE.md measurement hazards); only a value fetch is a
-        trustworthy barrier.  Consumes one scalar of the first leaf."""
+        trustworthy barrier.  Consumes one scalar of the first leaf; for
+        multi-process global arrays, of the first LOCAL shard (fetching a
+        remote shard would need a collective)."""
         leaf = jax.tree.leaves(out)[0]
+        if not getattr(leaf, 'is_fully_addressable', True):
+            return float(np.asarray(
+                leaf.addressable_shards[0].data).ravel()[0])
         return float(jnp.ravel(leaf)[0])
 
     def _fetch_baseline(self) -> float:
@@ -599,7 +614,7 @@ class SlamSystem:
         stack) with the flat fetch cost subtracted; the best is kept,
         stopping early once a draw beats `threshold_s`."""
         base_s = self._fetch_baseline()
-        best_fn, best_t = None, float('inf')
+        best_fn, best_t, best_s = None, float('inf'), 0
         for s in range(candidates):
             fn = build(s)
             self._fetch(fn(*example_args))   # compile + warm
@@ -611,14 +626,36 @@ class SlamSystem:
                 self._fetch(out)
                 dt = min(dt, (time.perf_counter() - t0 - base_s) / reps)
             dt = max(dt, 1e-6)
+            # multi-process runs: every rank compiled its OWN binary for
+            # this salt; agree on the WORST rank's time so all ranks take
+            # identical keep/re-roll branches (a binary slow on any rank
+            # stalls the whole collective step anyway).  Lockstep is
+            # preserved because every rank runs the same candidate loop
+            # and branches on the same agreed value.
+            dt = self._agree_time(dt)
             if dt < best_t:
-                best_fn, best_t = fn, dt
+                best_fn, best_t, best_s = fn, dt, s
             if best_t <= threshold_s:
                 break
             if self.verbose:
                 print(f'INFO: {tag} binary draw {s}: '
                       f'{dt * 1e3:.1f} ms (re-rolling compile)')
+        self.autotune_choice[tag] = (best_s, best_t)
         return best_fn
+
+    @staticmethod
+    def _agree_time(dt: float) -> float:
+        """Max of `dt` over all processes (identity single-process).
+
+        Used by `_autotune` so multi-host ranks agree on one probe
+        verdict — the round-2/3 bypass (`build(0)` under a mesh) meant
+        exactly the multi-host runs took whatever binary XLA drew."""
+        if jax.process_count() == 1:
+            return dt
+        from jax.experimental import multihost_utils
+        times = multihost_utils.process_allgather(
+            jnp.asarray([dt], jnp.float32))
+        return float(np.max(np.asarray(times)))
 
     def _autotune_track_fn(self, example_args):
         """Compile the tracking program, re-rolling slow binary draws.
@@ -647,9 +684,12 @@ class SlamSystem:
         """Compile the mapping program, re-rolling slow binary draws — the
         same nondeterminism as the tracking program but with a much heavier
         compile (~30-60 s), so the default candidate count is 2 and the
-        threshold scales with the pixel budget.  Skipped off-TPU and under
-        a device mesh (a multi-process probe could diverge across ranks)."""
-        if jax.default_backend() != 'tpu' or self.par_mesh is not None:
+        threshold scales with the pixel budget.  Skipped off-TPU.  Under a
+        device mesh the probe runs rank-synchronized: every rank times its
+        own binary on the same candidate schedule and the verdict is the
+        allgathered worst-rank time (`_agree_time`), so all ranks keep or
+        re-roll together — no divergence, no bypass."""
+        if jax.default_backend() != 'tpu':
             return build(0)
         # tiny workloads (sub-half-Replica ray-sample budgets) are
         # dispatch/overhead-bound: the pixels-scaled threshold mispredicts

@@ -331,3 +331,75 @@ def test_two_process_kf_sharded_map(tmp_path):
                                np.asarray(loss_s).tolist(), rtol=2e-4)
     np.testing.assert_allclose(results[0]['cams'],
                                np.asarray(out_s['cams']).tolist(), atol=1e-5)
+
+
+_CHILD_AUTOTUNE = r"""
+import json, os, sys, time, types
+pid = int(sys.argv[1]); nproc = int(sys.argv[2]); port = sys.argv[3]
+sys.path.insert(0, {repo!r}); sys.path.insert(0, os.path.join({repo!r}, 'tests'))
+from nice_slam_tpu.parallel import distributed as D
+D.initialize(coordinator_address=f'localhost:{{port}}', num_processes=nproc,
+             process_id=pid, cpu_simulation=True, local_device_count=2)
+import jax, jax.numpy as jnp
+from nice_slam_tpu.engine.slam import SlamSystem
+
+self_like = types.SimpleNamespace(
+    _fetch_base_s=None, _dispatch_s=None, verbose=False, autotune_choice={{}})
+self_like._fetch = SlamSystem._fetch
+self_like._agree_time = SlamSystem._agree_time
+self_like._fetch_baseline = types.MethodType(
+    SlamSystem._fetch_baseline.__func__
+    if hasattr(SlamSystem._fetch_baseline, '__func__')
+    else SlamSystem._fetch_baseline, self_like)
+self_like._autotune = types.MethodType(
+    SlamSystem._autotune.__func__
+    if hasattr(SlamSystem._autotune, '__func__')
+    else SlamSystem._autotune, self_like)
+
+def build(s):
+    jfn = jax.jit(lambda x: x + 1.0 + s * 0.0)
+    def fn(x):
+        # rank 1's salt-0 "binary" is slow: without the rank-synchronized
+        # agreement, rank 0 would KEEP salt 0 while rank 1 re-rolls
+        if s == 0 and pid == 1:
+            time.sleep(0.05)
+        return jfn(x)
+    return fn
+
+x = jnp.zeros((8,))
+fn = self_like._autotune(build, (x,), threshold_s=0.02, candidates=3,
+                         tag='probe', reps=3)
+salt, t = self_like.autotune_choice['probe']
+print('RESULT' + str(pid) + json.dumps({{'salt': salt, 't': t}}), flush=True)
+"""
+
+
+def test_two_process_autotune_agreement(tmp_path):
+    """VERDICT r3 #5: the compile-quality probe under a multi-process
+    runtime must converge on ONE salt on every rank.  Rank 1's salt-0
+    candidate is artificially slow; the allgathered worst-rank verdict
+    makes BOTH ranks re-roll to salt 1."""
+    child = tmp_path / 'child_autotune.py'
+    child.write_text(_CHILD_AUTOTUNE.format(repo=REPO))
+    import socket
+    with socket.socket() as s:
+        s.bind(('localhost', 0))
+        port = s.getsockname()[1]
+    env = dict(os.environ)
+    env.pop('XLA_FLAGS', None)
+    procs = [subprocess.Popen(
+        [sys.executable, str(child), str(i), '2', str(port)],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        env=env, cwd=str(tmp_path)) for i in range(2)]
+    outs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=600)
+        assert p.returncode == 0, out[-4000:]
+        outs.append(out)
+    results = {}
+    for out in outs:
+        for line in out.splitlines():
+            if line.startswith('RESULT'):
+                results[int(line[6])] = json.loads(line[7:])
+    assert sorted(results) == [0, 1], outs[0][-2000:]
+    assert results[0]['salt'] == results[1]['salt'] == 1, results
