@@ -42,6 +42,16 @@ from jax.experimental.pallas import tpu as pltpu
 # VMEM budget for the plane-streaming kernels (see _plane_bytes).
 _VMEM_LIMIT_BYTES = 15 * 1024 * 1024
 
+# Mosaic's scoped-vmem stack model is shape-dependent and our chunk-size
+# model (below) has measured up to ~1.6x error (19.14 MB actual vs 12.1 MB
+# modelled at the Apartment fine shape 107x53x82xC32), so every call site
+# raises the compiler's scoped-vmem cap well above the 16 MB default
+# (v5e/v6e have 128 MB VMEM); the chunk selector still TARGETS 15 MB so
+# double-buffering efficiency is unchanged — the cap is headroom against
+# model error, not a bigger working set.
+_COMPILER_PARAMS = pltpu.CompilerParams(
+    vmem_limit_bytes=100 * 1024 * 1024)
+
 
 def _plane_masks(ny: int, nz: int) -> np.ndarray:
     """[P, 2] f32: col 0 = 1.0 where z == nz-1, col 1 = 1.0 where y == ny-1."""
@@ -325,6 +335,7 @@ def _expand_call_chunked(grid_flat, shape, interpret, by):
         out_specs=pl.BlockSpec((1, by * nz, 8 * c), lambda i, j: (i, j, 0),
                                memory_space=pltpu.VMEM),
         interpret=interpret,
+        compiler_params=_COMPILER_PARAMS,
     )(g3, g3, g3, g3)
     return out[:, :ny * nz].reshape(nx * ny * nz, 8 * c)
 
@@ -358,6 +369,7 @@ def _fold_call_chunked(de_flat, shape, interpret, by):
         out_specs=pl.BlockSpec((1, by * nz, c), lambda i, j: (i, j, 0),
                                memory_space=pltpu.VMEM),
         interpret=interpret,
+        compiler_params=_COMPILER_PARAMS,
     )(d3, d3, d3, d3)
     return out[:, :ny * nz].reshape(nx * ny * nz, c)
 
@@ -388,6 +400,7 @@ def _expand_call(grid_flat: jnp.ndarray, shape: tuple[int, int, int],
         out_specs=pl.BlockSpec((1, p, 8 * c), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         interpret=interpret,
+        compiler_params=_COMPILER_PARAMS,
     )(g3, g3, masks)
     return out.reshape(nx * p, 8 * c)
 
@@ -419,6 +432,7 @@ def _fold_call(de_flat: jnp.ndarray, shape: tuple[int, int, int],
         out_specs=pl.BlockSpec((1, p, c), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         interpret=interpret,
+        compiler_params=_COMPILER_PARAMS,
     )(d3, d3, masks)
     return out.reshape(nx * p, c)
 
