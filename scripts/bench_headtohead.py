@@ -55,16 +55,17 @@ CAMS = {
 }
 
 
-def build_fixture(variant: str, n_frames: int, root: str) -> str:
+def build_fixture(variant: str, n_frames: int, root: str,
+                  step: float = 0.02) -> str:
     from make_fixture_dataset import make_frames, write_dataset
     cam = CAMS[variant]
     out = os.path.join(root, 'data')
     if os.path.isfile(os.path.join(out, 'traj.txt')):
         return out
     print(f'INFO: rendering {n_frames}-frame fixture at '
-          f'{cam["h"]}x{cam["w"]} ...', flush=True)
+          f'{cam["h"]}x{cam["w"]} step {step} ...', flush=True)
     frames = make_frames(n_frames, cam['h'], cam['w'], cam['fx'],
-                         cam['fy'], cam['cx'], cam['cy'])
+                         cam['fy'], cam['cx'], cam['cy'], step=step)
     write_dataset('replica', out, frames, cam['h'], cam['w'],
                   cam['fx'], cam['fy'], cam['cx'], cam['cy'])
     return out
@@ -194,14 +195,21 @@ def main():
         n_frames = int(pos[1])
     ba = '--ba' in args
     iters_first = None
+    step = 0.02
     for a in args:
         if a.startswith('--iters-first'):
             iters_first = int(a.split('=')[1])
+        if a.startswith('--step'):
+            # faster orbit => revisit within a shorter run (orbit period
+            # = 2*pi/step frames); used by the revisit-drift study
+            step = float(a.split('=')[1])
 
     tag = f'{variant}_{n_frames}' + ('_ba' if ba else '')
+    if step != 0.02:
+        tag += f'_s{step}'
     root = f'/tmp/nstpu_h2h_{tag}'
     os.makedirs(root, exist_ok=True)
-    data_dir = build_fixture(variant, n_frames, root)
+    data_dir = build_fixture(variant, n_frames, root, step)
     cfg_path = build_config(variant, n_frames, root, data_dir, ba,
                             iters_first)
 

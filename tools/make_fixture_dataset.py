@@ -37,7 +37,7 @@ DEPTH_SCALE = {'replica': 6553.5, 'scannet': 1000.0, 'tumrgbd': 5000.0,
 BOX = np.array([[-2.0, 2.0], [-1.6, 1.6], [-2.0, 2.0]])
 
 
-def make_frames(n, h, w, fx, fy, cx, cy, noise=0.003):
+def make_frames(n, h, w, fx, fy, cx, cy, noise=0.003, step=0.02):
     """True (OpenGL-convention) poses + renders of the box scene.
 
     `noise` is the multiplicative depth-noise sigma.  Real RGB-D sensors
@@ -50,7 +50,7 @@ def make_frames(n, h, w, fx, fy, cx, cy, noise=0.003):
         'H': h, 'W': w, 'fx': fx, 'fy': fy, 'cx': cx, 'cy': cy},
         'data': {'input_folder': ''},
         'synthetic': {'n_frames': n, 'box': BOX.tolist(), 'radius': 0.3,
-                      'noise': noise}}
+                      'noise': noise, 'step': step}}
     ds = SyntheticBox(cfg, '', 1.0)
     frames = []
     for i in range(n):
