@@ -115,14 +115,23 @@ def build_config(variant: str, n_frames: int, root: str, data_dir: str,
                      'device': 'cpu',
                      'vis_freq': 10 ** 6, 'vis_inside_freq': 10 ** 6,
                      'w_color_loss': 0.5, 'seperate_LR': False,
-                     'const_speed_assumption': True, 'var_floor': 1.0e-4,
+                     # the reference hard-codes 1e-10 (Tracker.py:119);
+                     # var_floor is an ours-only knob, so any other value
+                     # makes the comparison asymmetric
+                     'const_speed_assumption': True, 'var_floor': 1.0e-10,
                      'no_vis_on_first_frame': True, 'gt_camera': False,
                      **track},
         'mapping': {'device': 'cpu', 'color_refine': True,
                     'middle_iter_ratio': 0.4, 'fine_iter_ratio': 0.6,
                     'BA': ba, 'BA_cam_lr': 0.001,
+                    # the reference NEVER optimizes the middle decoder
+                    # (Mapper.py:418-423: only fine when not fix_fine, and
+                    # color); train_middle is OUR from-scratch extension
+                    # and with pretrained decoders loaded it perturbs the
+                    # pretrained middle MLP every round — measured to
+                    # drive 100-frame demo drift from ~6 cm to ~36 cm
                     'fix_fine': True, 'fix_color': False,
-                    'train_middle': True,
+                    'train_middle': False,
                     'no_vis_on_first_frame': True,
                     'no_mesh_on_first_frame': True,
                     'no_log_on_first_frame': True,
@@ -141,7 +150,7 @@ def build_config(variant: str, n_frames: int, root: str, data_dir: str,
                         'middle': {'decoders_lr': 0.0, 'coarse_lr': 0.0,
                                    'middle_lr': 0.1, 'fine_lr': 0.0,
                                    'color_lr': 0.0},
-                        'fine': {'decoders_lr': 0.001, 'coarse_lr': 0.0,
+                        'fine': {'decoders_lr': 0.0, 'coarse_lr': 0.0,
                                  'middle_lr': 0.005, 'fine_lr': 0.005,
                                  'color_lr': 0.0},
                         'color': {'decoders_lr': 0.005, 'coarse_lr': 0.0,
