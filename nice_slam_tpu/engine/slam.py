@@ -218,6 +218,18 @@ class SlamSystem:
             if not self.mcfg.fix_color:
                 trainable_keys.add('color')
             if self.mcfg.train_middle:
+                # from-scratch extension; the reference NEVER optimizes the
+                # middle decoder (Mapper.py:418-423).  Combined with loaded
+                # pretrained decoders it degrades badly (measured: 100-frame
+                # demo-budget drift 6 cm -> 36 cm, BASELINE.md round 4) —
+                # the mapper perturbs the pretrained geometry MLP under the
+                # tracker.
+                if pre.get('middle_fine'):
+                    print('WARNING: mapping.train_middle=True with '
+                          'pretrained decoders loaded: the pretrained '
+                          'middle MLP will be perturbed during mapping '
+                          '(the reference never trains it); expect '
+                          'tracking drift — set train_middle: false')
                 trainable_keys.add('middle')
             self.opt_dec = {k: params[k] for k in sorted(trainable_keys)}
             self.frozen_dec = {k: v for k, v in params.items()
