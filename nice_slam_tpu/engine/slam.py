@@ -1143,6 +1143,23 @@ class SlamSystem:
     # main loop
     # ------------------------------------------------------------------
 
+    @property
+    def map_cadence(self) -> int:
+        """Frames between mapping rounds.  Strict maps exactly every
+        `every_frame` (Tracker.py:176 / Mapper.py:687-689).  In the
+        overlapped modes the reference's mapper re-fires as soon as the
+        tracker is >= every_frame//2 past the last mapped frame
+        (Mapper.py:690-692), and its mapping round is slower than
+        every_frame//2 of its tracking, so that gate BINDS: the effective
+        reference cadence is every_frame//2.  Matching it costs one extra
+        mapping round per every_frame in the overlapped modes (they
+        overlap tracking); measured accuracy effect at the Demo budget is
+        within seed noise (BASELINE.md round-4 head-to-head), so this is
+        a semantics-parity choice, not a tuning one."""
+        if self.sync_method == 'strict':
+            return self.mcfg.every_frame
+        return max(1, self.mcfg.every_frame // 2)
+
     def step(self, idx: int) -> None:
         """Process one frame under the strict schedule."""
         _, color_np, depth_np, gt_c2w_np = self.frame_reader[idx]
@@ -1156,14 +1173,14 @@ class SlamSystem:
                                coarse=True, first=True)
         else:
             self.track(idx, color_np, depth_np, gt_c2w_np)
-            if idx % self.mcfg.every_frame == 0 or idx == self.n_img - 1:
+            if idx % self.map_cadence == 0 or idx == self.n_img - 1:
                 if self.coarse_enabled:
                     self.map_frame(idx, color_np, depth_np, gt_c2w_np,
                                    coarse=True)
                 self.map_frame(idx, color_np, depth_np, gt_c2w_np)
 
         # services at mapping cadence (Mapper.py:769-802)
-        mapped = (idx == 0 or idx % self.mcfg.every_frame == 0
+        mapped = (idx == 0 or idx % self.map_cadence == 0
                   or idx == self.n_img - 1)
         if mapped:
             if ((idx % self.ckpt_freq == 0
