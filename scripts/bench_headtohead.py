@@ -24,9 +24,11 @@ Variants (budgets from the reference's own configs):
            500-frame soak holds 2.03 cm ATE on.
 
 Deviations shared by BOTH systems (so comparability holds): the fixture
-orbit scene, keyframe_every 5 (reference Replica uses 50; 5 matches every
-recorded soak and keeps the keyframe set non-degenerate at short
-lengths), meshing/vis disabled, BA off by default (--ba enables).
+orbit scene, keyframe_every 5 (reference Replica uses 50; 5 keeps the
+keyframe set non-degenerate at short lengths — NOTE the bench_demo soaks
+use the shipped Demo config's 50, so their rows are not directly
+comparable to these), meshing/vis disabled, BA off by default
+(--ba enables).
 
 Usage:
   python scripts/bench_headtohead.py [demo|replica] [n_frames]
