@@ -27,12 +27,15 @@ Deviations shared by BOTH systems (so comparability holds): the fixture
 orbit scene, keyframe_every 5 (reference Replica uses 50; 5 keeps the
 keyframe set non-degenerate at short lengths — NOTE the bench_demo soaks
 use the shipped Demo config's 50, so their rows are not directly
-comparable to these), meshing/vis disabled, BA off by default
-(--ba enables).
+comparable to these), meshing/vis disabled.  BA defaults ON — the
+reference's config tree never overrides `BA: True`
+(configs/nice_slam.yaml:60, no per-scene override), so BA-on is its
+default operating mode; `--no-ba` reproduces the round-4 BA-off rows
+(which were measured with both systems BA-off, internally fair).
 
 Usage:
   python scripts/bench_headtohead.py [demo|replica] [n_frames]
-      [--ba] [--skip-ref] [--skip-ours] [--iters-first N]
+      [--no-ba] [--skip-ref] [--skip-ours] [--iters-first=N] [--step=S]
 """
 
 from __future__ import annotations
@@ -204,7 +207,7 @@ def main():
         variant = pos[0]
     if len(pos) > 1:
         n_frames = int(pos[1])
-    ba = '--ba' in args
+    ba = '--no-ba' not in args
     iters_first = None
     step = 0.02
     for a in args:
