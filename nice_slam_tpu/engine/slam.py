@@ -225,11 +225,13 @@ class SlamSystem:
                 # the mapper perturbs the pretrained geometry MLP under the
                 # tracker.
                 if pre.get('middle_fine'):
-                    print('WARNING: mapping.train_middle=True with '
-                          'pretrained decoders loaded: the pretrained '
-                          'middle MLP will be perturbed during mapping '
-                          '(the reference never trains it); expect '
-                          'tracking drift — set train_middle: false')
+                    import warnings
+                    warnings.warn(
+                        'mapping.train_middle=True with pretrained '
+                        'decoders loaded: the pretrained middle MLP will '
+                        'be perturbed during mapping (the reference never '
+                        'trains it); expect tracking drift — set '
+                        'train_middle: false', UserWarning, stacklevel=2)
                 trainable_keys.add('middle')
             self.opt_dec = {k: params[k] for k in sorted(trainable_keys)}
             self.frozen_dec = {k: v for k, v in params.items()
@@ -279,6 +281,26 @@ class SlamSystem:
         # mesh below spans the GLOBAL device list.
         self.sync_method = cfg.get('sync_method', 'strict')
         devs = jax.local_devices()
+        if self.sync_method == 'free' and len(devs) == 1 \
+                and not bool(cfg.get('sync_force_free', False)):
+            # MEASURED fence (BASELINE.md round-4 sync rows): on ONE chip
+            # 'free' is strictly worse than 'loose' — 328 s vs 174 s wall
+            # at the 100-frame Replica budget (tracked_fps 0.41 vs 0.92)
+            # at identical accuracy (0.60 cm both), because the ungated
+            # back-to-back mapping commits invalidate the tracker's grid
+            # snapshot every frame and single-chip contention serializes
+            # the re-expansions against mapping.  The reference's free
+            # mode assumes tracker and mapper own separate executors
+            # (Tracker.py:183-192); with two local devices ours does too.
+            # `sync_force_free: true` keeps genuine free on one chip.
+            import warnings
+            warnings.warn(
+                "sync_method: 'free' on a single local device runs "
+                "strictly slower than 'loose' at equal accuracy "
+                "(measured, BASELINE.md round-4) — using 'loose'; set "
+                "sync_force_free: true to override", UserWarning,
+                stacklevel=2)
+            self.sync_method = 'loose'
         self.track_device = devs[0]
         self.map_device = (devs[1] if self.sync_method != 'strict'
                            and len(devs) > 1 else devs[0])
@@ -307,6 +329,29 @@ class SlamSystem:
                 raise ValueError(f'parallel.map: {self.par_map}')
             # sharded mapping owns the devices; the 2-device pipeline and
             # per-frame device cache are single-device mechanisms
+            self.map_device = self.track_device
+        # ray-sharded TRACKING (config `parallel.track: rays`): every
+        # device renders tracking.pixels / n_devices rays per iteration,
+        # loss/grads psum over ICI — draw-identical to the single-device
+        # program (parallel/sharded.sharded_tracking_loss).  This is the
+        # multi-chip lever for tracking-bound budgets (the TUM config's
+        # 5000 px x 200 iters is gather-bound and embarrassingly
+        # ray-parallel — BASELINE.md round-4 row-gather cost law).
+        self.par_track = pcfg.get('track', 'none')
+        self.par_track_mesh = None
+        if self.par_track != 'none':
+            if self.par_track != 'rays':
+                raise ValueError(f'parallel.track: {self.par_track}')
+            gdevs = jax.devices()
+            n_par = int(pcfg.get('devices', 0)) or len(gdevs)
+            from nice_slam_tpu.parallel.mesh import make_ray_mesh
+            self.par_track_mesh = make_ray_mesh(n_par, devices=gdevs)
+            if self.tcfg.pixels % self.par_track_mesh.devices.size:
+                raise ValueError(
+                    f'parallel.track: rays needs tracking.pixels '
+                    f'({self.tcfg.pixels}) divisible by the mesh size '
+                    f'({self.par_track_mesh.devices.size})')
+            # the tracking shard_map owns the devices — no 2-dev pipeline
             self.map_device = self.track_device
         # (frame_idx, one mapping output leaf) of a dispatched-but-not-yet-
         # consumed mapping call; the tracker refreshes its snapshot from
@@ -355,7 +400,14 @@ class SlamSystem:
                     for b in cfg['mapping'].get(
                         'marching_cubes_bound', self.gcfg.bound)),
                 scale=float(cfg.get('scale', 1.0)),
-            ), self.model, self.intr, rcfg=self.rcfg)
+                # the 256^3..512^3 lattice query shards over a configured
+                # device mesh (SURVEY §7.1; the reference's hot loop,
+                # Mesher.py:569-575); >1 device only — on one device the
+                # shard_map wrapper is pure overhead
+            ), self.model, self.intr, rcfg=self.rcfg,
+               sharded_mesh=next(
+                   (m for m in (self.par_mesh, self.par_track_mesh)
+                    if m is not None and m.devices.size > 1), None))
         self.eval_rec = bool(cfg.get('meshing', {}).get('eval_rec', False))
         self.mesh_async = bool(cfg.get('meshing', {}).get('async', True))
         self._mesh_pool = None
@@ -496,6 +548,13 @@ class SlamSystem:
                         self._prepare_tracking = self._autotune(
                             build, (grids,), thr, 4, 'grid-expand', reps=10)
                 grids = self._prepare_tracking(grids)
+            if self.par_track_mesh is not None:
+                # replicate the snapshot onto the tracking mesh ONCE per
+                # mapping commit (the broadcast is the expanded tables —
+                # up to ~GB at TUM scale — so it must not happen per frame)
+                from nice_slam_tpu.parallel.sharded import replicate_to_mesh
+                params, grids = replicate_to_mesh((params, grids),
+                                                  self.par_track_mesh)
             self._tracking_grids = (params, grids)
         return self._tracking_grids
 
@@ -507,7 +566,15 @@ class SlamSystem:
         """Track one frame; returns the estimated 4x4 c2w
         (Tracker.run :151-299)."""
         t0 = time.perf_counter()
-        color, depth = self._device_frame(idx, color_np, depth_np)
+        if self.par_track_mesh is not None:
+            # replicated upload onto the tracking mesh (one broadcast;
+            # the single-device _device_frame cache is bypassed)
+            from nice_slam_tpu.parallel.sharded import replicate_to_mesh
+            color, depth = replicate_to_mesh(
+                (np.asarray(color_np), np.asarray(depth_np)),
+                self.par_track_mesh)
+        else:
+            color, depth = self._device_frame(idx, color_np, depth_np)
 
         # overlapped modes: consume a finished (or gate-forced) mapping
         # update; otherwise keep rendering against the current snapshot
@@ -674,22 +741,40 @@ class SlamSystem:
         A probe costs ~0.2 s; a re-roll costs one compile and only happens
         when the first draw was bad.  Off-TPU (CPU test runs) the probe is
         skipped entirely."""
-        build = lambda s: make_track_frame(
-            model=self.model, rcfg=self.rcfg, tcfg=self.tcfg,
-            intr=self.intr, salt=s)
+        if self.par_track_mesh is not None:
+            from nice_slam_tpu.parallel.sharded import \
+                make_sharded_track_frame
+            build = lambda s: make_sharded_track_frame(
+                mesh=self.par_track_mesh, model=self.model, rcfg=self.rcfg,
+                tcfg=self.tcfg, intr=self.intr, salt=s)
+        else:
+            build = lambda s: make_track_frame(
+                model=self.model, rcfg=self.rcfg, tcfg=self.tcfg,
+                intr=self.intr, salt=s)
         if jax.default_backend() != 'tpu':
             return build(0)
-        # "fast binary" threshold scales with the tracking budget: 25 ms at
-        # the Replica budget (200 px x 10 iters); a Demo-budget (1000 x 30)
-        # good binary legitimately needs ~110 ms/frame, and an absolute
-        # threshold would re-roll forever without being able to accept it
+        # "fast binary" accept threshold, modelled from MEASURED good
+        # binaries across the shipped budgets (BASELINE.md):
+        #   * ray-bound term: ~4 us per px*iter (Replica 200x10 -> 8-10 ms
+        #     in today's draw pool; TUM 5000x200 -> 4.0 s; Demo 1000x30
+        #     -> 110 ms), with 30% headroom => 5.2 us per px*iter;
+        #   * per-iteration dispatch/overhead floor: 1.3 ms/iter (binds on
+        #     small-batch budgets — Apartment 200px x 50 runs 62 ms);
+        #   * 9 ms absolute floor.
+        # The previous 25 * (budget/2000)^0.85 form sat ~4x above the good
+        # binary at the Replica budget, so 16+ ms draws were ACCEPTED
+        # without a re-roll — the round-4/5 bench regressions
+        # (BENCH_r04 16.08, r5 first draws 13.9-15.5 fps) were exactly
+        # such draws (scripts/studies/proto_track_draws.py measures the
+        # pool).
         budget = self.tcfg.pixels * self.tcfg.iters
-        default_ms = 25.0 * max(1.0, budget / 2000.0) ** 0.85
-        threshold_s = float(self.cfg.get('tracking', {})
-                            .get('autotune_ms', default_ms)) / 1e3
+        default_ms = max(9.0, 1.3 * self.tcfg.iters, 5.2e-3 * budget)
+        threshold_s = (float(self.cfg.get('tracking', {})
+                             .get('autotune_ms', default_ms)) / 1e3
+                       + self._dispatch_latency())
         return self._autotune(
             build, example_args, threshold_s,
-            int(self.cfg.get('tracking', {}).get('autotune_candidates', 3)),
+            int(self.cfg.get('tracking', {}).get('autotune_candidates', 5)),
             'tracking')
 
     def _autotune_map_fn(self, build, example_args, n_iters, pixels):
@@ -1146,16 +1231,19 @@ class SlamSystem:
     @property
     def map_cadence(self) -> int:
         """Frames between mapping rounds.  Strict maps exactly every
-        `every_frame` (Tracker.py:176 / Mapper.py:687-689).  In the
-        overlapped modes the reference's mapper re-fires as soon as the
-        tracker is >= every_frame//2 past the last mapped frame
-        (Mapper.py:690-692), and its mapping round is slower than
-        every_frame//2 of its tracking, so that gate BINDS: the effective
-        reference cadence is every_frame//2.  Matching it costs one extra
-        mapping round per every_frame in the overlapped modes (they
+        `every_frame` (Tracker.py:176 / Mapper.py:687-689).  In 'loose'
+        the reference's mapper re-fires as soon as the tracker is
+        >= every_frame//2 past the last mapped frame (Mapper.py:690-692 —
+        that gate exists only for strict_mapping=False AND the loose wait
+        loop), and its mapping round is slower than every_frame//2 of its
+        tracking, so the gate BINDS: the effective reference loose cadence
+        is every_frame//2.  In 'free' the reference has NO cadence gate at
+        all (its mapper loops continuously); a fixed every_frame//2 is our
+        closest static approximation of that ungated continuous mapping —
+        one compiled cadence rather than a data-dependent loop.  Matching
+        costs one extra mapping round per every_frame vs strict (they
         overlap tracking); measured accuracy effect at the Demo budget is
-        within seed noise (BASELINE.md round-4 head-to-head), so this is
-        a semantics-parity choice, not a tuning one."""
+        within seed noise (BASELINE.md round-4 head-to-head)."""
         if self.sync_method == 'strict':
             return self.mcfg.every_frame
         return max(1, self.mcfg.every_frame // 2)

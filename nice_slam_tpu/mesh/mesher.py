@@ -61,6 +61,12 @@ class Mesher:
     def __init__(self, mcfg: MesherConfig, model: SceneModel,
                  intr: Intrinsics, *, rcfg=None, sharded_mesh=None):
         from nice_slam_tpu.render.renderer import RenderConfig, render_rays
+        if sharded_mesh is not None:
+            # every chunk splits evenly over the mesh (the tail chunk is
+            # zero-padded by _chunked either way)
+            n_dev = sharded_mesh.devices.size
+            mcfg = mcfg._replace(
+                points_batch=-(-mcfg.points_batch // n_dev) * n_dev)
         self.cfg = mcfg
         # MEASURED (BASELINE.md r2): on the 256^3 lattice the fused Pallas
         # decoder is 2x SLOWER than XLA (15M vs 32M pts/s) — the kernel
@@ -135,15 +141,40 @@ class Mesher:
         per-chunk dispatch+sync formulation spent ~0.2 s PER CHUNK blocking
         on the axon tunnel (~32 s of a 256^3 extraction)."""
         pts3, n = self._chunked(points, cache)
-        key = ('eval', stage, pts3.shape[0], str(column))
+        key = ('eval', stage, pts3.shape[0], str(column),
+               self.sharded_mesh is not None)
         if key not in self._jit_cache:
             from jax import lax
 
-            def run(params, grids, pts3):
-                def one(p):
+            if self.sharded_mesh is not None:
+                # multi-chip lattice query (SURVEY §7.1, the reference's
+                # 256^3..512^3 hot loop, Mesher.py:569-575): points shard
+                # over the mesh, params/grids replicate, each chip decodes
+                # its slab — embarrassingly parallel, no collectives
+                from jax.sharding import PartitionSpec as P
+                mesh = self.sharded_mesh
+                axis = mesh.axis_names[0]   # 'rays' or 'kf' mesh, either
+                assert pts3.shape[1] % mesh.devices.size == 0, \
+                    (pts3.shape, mesh.devices.size)
+
+                def local(params, grids, p):
                     return eval_raw(params, grids, p, stage,
                                     self.model)[:, column]
-                return lax.map(one, pts3)
+
+                shard_fn = jax.shard_map(
+                    local, mesh=mesh,
+                    in_specs=(P(), P(), P(axis)), out_specs=P(axis),
+                    check_vma=False)
+
+                def run(params, grids, pts3):
+                    return lax.map(
+                        lambda p: shard_fn(params, grids, p), pts3)
+            else:
+                def run(params, grids, pts3):
+                    def one(p):
+                        return eval_raw(params, grids, p, stage,
+                                        self.model)[:, column]
+                    return lax.map(one, pts3)
             self._jit_cache[key] = jax.jit(run)
         out = self._jit_cache[key](params, grids, pts3)
         out_np = np.array(out)   # writable copy (asarray views are RO)

@@ -44,13 +44,26 @@ _VMEM_LIMIT_BYTES = 15 * 1024 * 1024
 
 # Mosaic's scoped-vmem stack model is shape-dependent and our chunk-size
 # model (below) has measured up to ~1.6x error (19.14 MB actual vs 12.1 MB
-# modelled at the Apartment fine shape 107x53x82xC32), so every call site
-# raises the compiler's scoped-vmem cap well above the 16 MB default
+# modelled at the Apartment fine shape 107x53x82xC32), so the CHUNKED call
+# sites raise the compiler's scoped-vmem cap well above the 16 MB default
 # (v5e/v6e have 128 MB VMEM); the chunk selector still TARGETS 15 MB so
 # double-buffering efficiency is unchanged — the cap is headroom against
-# model error, not a bigger working set.
-_COMPILER_PARAMS = pltpu.CompilerParams(
+# model error, not a bigger working set.  The non-chunked paths use a cap
+# DERIVED from the plane model (`_small_shape_params`) so Mosaic still
+# catches working-set regressions there (round-4 advisor note).
+_COMPILER_PARAMS_CHUNKED = pltpu.CompilerParams(
     vmem_limit_bytes=100 * 1024 * 1024)
+
+
+def _small_shape_params(ny: int, nz: int, c: int) -> pltpu.CompilerParams:
+    """Scoped-vmem cap for the NON-chunked call sites: 1.5x the modelled
+    plane working set, floored at Mosaic's 16 MB default.  Tiny test
+    shapes keep the default guard (catching working-set regressions, the
+    round-4 advisor note); the Replica-scale fold — modelled 14.9 MB,
+    measured 14.3 MB, uncomfortably near the default cap — gets derived
+    headroom against the model's error rather than a blanket 100 MB."""
+    return pltpu.CompilerParams(vmem_limit_bytes=max(
+        16 * 1024 * 1024, int(1.5 * _plane_bytes(ny, nz, c))))
 
 
 def _plane_masks(ny: int, nz: int) -> np.ndarray:
@@ -335,7 +348,7 @@ def _expand_call_chunked(grid_flat, shape, interpret, by):
         out_specs=pl.BlockSpec((1, by * nz, 8 * c), lambda i, j: (i, j, 0),
                                memory_space=pltpu.VMEM),
         interpret=interpret,
-        compiler_params=_COMPILER_PARAMS,
+        compiler_params=_COMPILER_PARAMS_CHUNKED,
     )(g3, g3, g3, g3)
     return out[:, :ny * nz].reshape(nx * ny * nz, 8 * c)
 
@@ -369,7 +382,7 @@ def _fold_call_chunked(de_flat, shape, interpret, by):
         out_specs=pl.BlockSpec((1, by * nz, c), lambda i, j: (i, j, 0),
                                memory_space=pltpu.VMEM),
         interpret=interpret,
-        compiler_params=_COMPILER_PARAMS,
+        compiler_params=_COMPILER_PARAMS_CHUNKED,
     )(d3, d3, d3, d3)
     return out[:, :ny * nz].reshape(nx * ny * nz, c)
 
@@ -400,7 +413,7 @@ def _expand_call(grid_flat: jnp.ndarray, shape: tuple[int, int, int],
         out_specs=pl.BlockSpec((1, p, 8 * c), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         interpret=interpret,
-        compiler_params=_COMPILER_PARAMS,
+        compiler_params=_small_shape_params(ny, nz, c),
     )(g3, g3, masks)
     return out.reshape(nx * p, 8 * c)
 
@@ -432,7 +445,7 @@ def _fold_call(de_flat: jnp.ndarray, shape: tuple[int, int, int],
         out_specs=pl.BlockSpec((1, p, c), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         interpret=interpret,
-        compiler_params=_COMPILER_PARAMS,
+        compiler_params=_small_shape_params(ny, nz, c),
     )(d3, d3, masks)
     return out.reshape(nx * p, c)
 

@@ -35,7 +35,16 @@ default operating mode; `--no-ba` reproduces the round-4 BA-off rows
 
 Usage:
   python scripts/bench_headtohead.py [demo|replica] [n_frames]
-      [--no-ba] [--skip-ref] [--skip-ours] [--iters-first=N] [--step=S]
+      [--no-ba] [--skip-ref] [--skip-ours] [--iters-first N] [--step S]
+      [--kf-every N] [--runs-ref N] [--runs-ours N] [--tag T]
+
+`--kf-every 50 --iters-first 1500` with n_frames >= 300 is the FULL-DEFAULT
+variant (the reference Replica config's own keyframe_every 50 /
+iters_first 1500, configs/Replica/replica.yaml:22-24) — the other rows
+deliberately shrink both so short fixtures keep a non-degenerate keyframe
+set.  `--runs-ref/--runs-ours` repeat each side (the reference is unseeded
+torch, so repeats are independent draws; ours varies `--seed`), appending
+every run to the results JSON so spreads can be quoted per row.
 """
 
 from __future__ import annotations
@@ -77,7 +86,8 @@ def build_fixture(variant: str, n_frames: int, root: str,
 
 
 def build_config(variant: str, n_frames: int, root: str, data_dir: str,
-                 ba: bool, iters_first: int | None) -> str:
+                 ba: bool, iters_first: int | None,
+                 kf_every: int = 5) -> str:
     from make_fixture_dataset import BOX, write_config, make_frames  # noqa
     cam = CAMS[variant]
     pad = 0.4
@@ -142,7 +152,7 @@ def build_config(variant: str, n_frames: int, root: str, data_dir: str,
                     'no_log_on_first_frame': True,
                     'vis_freq': 10 ** 6, 'vis_inside_freq': 10 ** 6,
                     'mesh_freq': 10 ** 6, 'ckpt_freq': 10 ** 6,
-                    'keyframe_every': 5,
+                    'keyframe_every': kf_every,
                     'w_color_loss': 0.2, 'frustum_feature_selection': True,
                     'keyframe_selection_method': 'overlap',
                     'save_selected_keyframes_info': False,
@@ -198,82 +208,135 @@ def ate_stats(est: np.ndarray, gt: np.ndarray) -> dict:
     return out
 
 
-def main():
-    variant = 'replica'
-    n_frames = 100
-    args = sys.argv[1:]
-    pos = [a for a in args if not a.startswith('--')]
-    if pos:
-        variant = pos[0]
-    if len(pos) > 1:
-        n_frames = int(pos[1])
-    ba = '--no-ba' not in args
-    iters_first = None
-    step = 0.02
-    for a in args:
-        if a.startswith('--iters-first'):
-            iters_first = int(a.split('=')[1])
-        if a.startswith('--step'):
-            # faster orbit => revisit within a shorter run (orbit period
-            # = 2*pi/step frames); used by the revisit-drift study
-            step = float(a.split('=')[1])
+def run_reference(cfg_path: str, out_ref: str) -> dict:
+    t0 = time.perf_counter()
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, 'scripts',
+                                      'ref_system_harness.py'),
+         cfg_path, '--output', out_ref],
+        cwd=REPO, capture_output=True, text=True)
+    wall = time.perf_counter() - t0
+    if r.returncode != 0:
+        print('REFERENCE RUN FAILED:\n', r.stdout[-3000:],
+              r.stderr[-5000:])
+        sys.exit(1)
+    tr = np.load(os.path.join(out_ref, 'traj.npz'))
+    return {'wall_s': round(wall, 1),
+            **ate_stats(tr['estimate_c2w'], tr['gt_c2w'])}
 
-    tag = f'{variant}_{n_frames}' + ('_ba' if ba else '')
-    if step != 0.02:
-        tag += f'_s{step}'
+
+def recon_metrics(out_ours: str) -> dict:
+    """Reconstruction metrics of the run's final mesh vs the fixture
+    scene's ANALYTIC ground-truth surface (io/datasets.synthetic_gt_mesh —
+    the fixture generator renders exactly that scene).  Ours-side only:
+    the reference cannot extract meshes in this image (its mesher needs
+    skimage marching_cubes + Open3D, absent here) — that asymmetry is a
+    tooling limitation, not a comparison choice."""
+    from make_fixture_dataset import BOX
+    from nice_slam_tpu.eval.recon import calc_3d_metric
+    from nice_slam_tpu.io.datasets import synthetic_gt_mesh
+    from nice_slam_tpu.mesh.mesher import load_ply
+
+    mesh_path = os.path.join(out_ours, 'mesh', 'final_mesh.ply')
+    if not os.path.isfile(mesh_path):
+        return {'recon': 'no final mesh'}
+    rec_v, rec_t = load_ply(mesh_path)
+    gt_v, gt_t = synthetic_gt_mesh(BOX)
+    m = calc_3d_metric(rec_v, rec_t, gt_v, gt_t)
+    return {k: round(v, 2) for k, v in m.items()}
+
+
+def run_ours(cfg_path: str, out_ours: str, seed: int) -> dict:
+    t0 = time.perf_counter()
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, 'run.py'), cfg_path,
+         '--output', out_ours, '--seed', str(seed)],
+        cwd=REPO, capture_output=True, text=True)
+    wall = time.perf_counter() - t0
+    if r.returncode != 0:
+        print('OUR RUN FAILED:\n', r.stdout[-3000:], r.stderr[-5000:])
+        sys.exit(1)
+    from nice_slam_tpu.utils.ckpt import (latest_checkpoint,
+                                          load_checkpoint)
+    ck = load_checkpoint(latest_checkpoint(
+        os.path.join(out_ours, 'ckpts')))
+    return {'wall_s': round(wall, 1), 'seed': seed,
+            **ate_stats(np.asarray(ck['estimate_c2w']),
+                        np.asarray(ck['gt_c2w']))}
+
+
+def main():
+    import argparse
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument('variant', nargs='?', default='replica',
+                    choices=('demo', 'replica'))
+    ap.add_argument('n_frames', nargs='?', type=int, default=100)
+    ap.add_argument('--no-ba', action='store_true',
+                    help='reproduce the round-4 BA-off rows (BA on is the '
+                         'reference default, configs/nice_slam.yaml:60)')
+    ap.add_argument('--skip-ref', action='store_true')
+    ap.add_argument('--skip-ours', action='store_true')
+    ap.add_argument('--iters-first', type=int, default=None)
+    ap.add_argument('--step', type=float, default=0.02,
+                    help='orbit step/frame; faster orbit => revisit within '
+                         'a shorter run (orbit period = 2*pi/step frames)')
+    ap.add_argument('--kf-every', type=int, default=5,
+                    help='keyframe_every (50 = the reference Replica '
+                         'default; 5 keeps short fixtures non-degenerate)')
+    ap.add_argument('--runs-ref', type=int, default=1)
+    ap.add_argument('--runs-ours', type=int, default=1)
+    ap.add_argument('--seed0', type=int, default=0,
+                    help='first seed for the ours-side repeats')
+    ap.add_argument('--tag', type=str, default=None,
+                    help='override the /tmp/nstpu_h2h_<tag> root')
+    ap.add_argument('--recon', action='store_true',
+                    help='add reconstruction metrics (acc/comp/ratio vs '
+                         'the analytic GT mesh) to each ours-side run; '
+                         'the reference side cannot mesh in this image '
+                         '(no skimage/Open3D) — documented asymmetry')
+    args = ap.parse_args()
+
+    variant, n_frames, ba = args.variant, args.n_frames, not args.no_ba
+    tag = args.tag or (f'{variant}_{n_frames}' + ('_ba' if ba else '')
+                       + (f'_s{args.step}' if args.step != 0.02 else '')
+                       + (f'_kf{args.kf_every}' if args.kf_every != 5
+                          else ''))
     root = f'/tmp/nstpu_h2h_{tag}'
     os.makedirs(root, exist_ok=True)
-    data_dir = build_fixture(variant, n_frames, root, step)
+    data_dir = build_fixture(variant, n_frames, root, args.step)
     cfg_path = build_config(variant, n_frames, root, data_dir, ba,
-                            iters_first)
+                            args.iters_first, args.kf_every)
 
-    results = {'variant': variant, 'n_frames': n_frames, 'ba': ba}
+    results = {'variant': variant, 'n_frames': n_frames, 'ba': ba,
+               'kf_every': args.kf_every, 'step': args.step,
+               'reference': [], 'ours': []}
+    res_path = os.path.join(root, 'headtohead.json')
 
-    if '--skip-ref' not in args:
-        out_ref = os.path.join(root, 'out_ref')
-        t0 = time.perf_counter()
-        r = subprocess.run(
-            [sys.executable, os.path.join(REPO, 'scripts',
-                                          'ref_system_harness.py'),
-             cfg_path, '--output', out_ref],
-            cwd=REPO, capture_output=True, text=True)
-        wall = time.perf_counter() - t0
-        if r.returncode != 0:
-            print('REFERENCE RUN FAILED:\n', r.stdout[-3000:],
-                  r.stderr[-5000:])
-            sys.exit(1)
-        tr = np.load(os.path.join(out_ref, 'traj.npz'))
-        results['reference'] = {
-            'wall_s': round(wall, 1),
-            **ate_stats(tr['estimate_c2w'], tr['gt_c2w']),
-        }
-        print(json.dumps({'system': 'reference', **results['reference']}),
-              flush=True)
+    def save():
+        with open(res_path, 'w') as f:
+            json.dump(results, f, indent=1)
 
-    if '--skip-ours' not in args:
-        out_ours = os.path.join(root, 'out_ours')
-        t0 = time.perf_counter()
-        r = subprocess.run(
-            [sys.executable, os.path.join(REPO, 'run.py'), cfg_path,
-             '--output', out_ours],
-            cwd=REPO, capture_output=True, text=True)
-        wall = time.perf_counter() - t0
-        if r.returncode != 0:
-            print('OUR RUN FAILED:\n', r.stdout[-3000:], r.stderr[-5000:])
-            sys.exit(1)
-        from nice_slam_tpu.utils.ckpt import (latest_checkpoint,
-                                              load_checkpoint)
-        ck = load_checkpoint(latest_checkpoint(
-            os.path.join(out_ours, 'ckpts')))
-        results['ours'] = {
-            'wall_s': round(wall, 1),
-            **ate_stats(np.asarray(ck['estimate_c2w']),
-                        np.asarray(ck['gt_c2w'])),
-        }
-        print(json.dumps({'system': 'ours', **results['ours']}), flush=True)
+    if not args.skip_ref:
+        for k in range(args.runs_ref):
+            out_ref = os.path.join(root, f'out_ref_{k}')
+            row = run_reference(cfg_path, out_ref)
+            results['reference'].append(row)
+            print(json.dumps({'system': 'reference', 'run': k, **row}),
+                  flush=True)
+            save()
 
-    with open(os.path.join(root, 'headtohead.json'), 'w') as f:
-        json.dump(results, f, indent=1)
+    if not args.skip_ours:
+        for k in range(args.runs_ours):
+            seed = args.seed0 + k
+            out_ours = os.path.join(root, f'out_ours_{seed}')
+            row = run_ours(cfg_path, out_ours, seed)
+            if args.recon:
+                row['recon'] = recon_metrics(out_ours)
+            results['ours'].append(row)
+            print(json.dumps({'system': 'ours', **row}), flush=True)
+            save()
+
+    save()
     print(json.dumps(results), flush=True)
 
 

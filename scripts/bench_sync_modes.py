@@ -27,6 +27,11 @@ def run_mode(mode, n_frames):
 
     cfg = make_test_cfg(n_frames=n_frames, h=680, w=1200)
     cfg['sync_method'] = mode
+    # this script MEASURES the modes, so 'free' must stay genuine free —
+    # without the override the orchestrator's measured one-chip fence
+    # (BASELINE.md round-4 rows: free 328 s vs loose 174 s at equal
+    # accuracy) would silently alias it to loose
+    cfg['sync_force_free'] = True
     cfg['debug'] = {}
     cfg['synthetic']['n_frames'] = n_frames
     cfg['meshing']['resolution'] = 128

@@ -103,6 +103,45 @@ def main():
         best = min(best, min(ts))
     print(f'tracking: {best:.3f} s/frame (200 iters x 5000 px)')
 
+    # ---- ray-sharded tracking overhead + multi-chip projection ----
+    # `--track-mesh` runs the SAME budget through the parallel.track: rays
+    # program on a 1-device mesh (the only mesh this 1-chip environment
+    # can measure): the delta vs the plain program is the per-iteration
+    # sharding overhead (shard_map plumbing + the [5000]-float residual
+    # all_gather + the psum pair, which on 1 device compile away to
+    # copies).  The projection model splits the measured single-chip
+    # per-iter cost into the ray-parallel part (gather+MLP decode, scales
+    # 1/N per the round-4 row-gather cost law) and that fixed overhead.
+    if '--track-mesh' in sys.argv:
+        from nice_slam_tpu.parallel.mesh import make_ray_mesh
+        from nice_slam_tpu.parallel.sharded import make_sharded_track_frame
+        n_mesh = int(sys.argv[sys.argv.index('--track-mesh') + 1])
+        mesh = make_ray_mesh(n_mesh)
+        best_sh = float('inf')
+        for salt in range(2):
+            fn = make_sharded_track_frame(mesh=mesh, model=model,
+                                          rcfg=rcfg, tcfg=tcfg, intr=intr,
+                                          salt=salt)
+            jax.block_until_ready(
+                fn(params, track_grids, color, depth, cam7, key)[2])
+            for i in range(3):
+                t0 = time.perf_counter()
+                out = fn(params, track_grids, color, depth, cam7,
+                         jax.random.fold_in(key, i))
+                jax.block_until_ready(out[2])
+                best_sh = min(best_sh, time.perf_counter() - t0)
+        over = best_sh - best
+        print(f'tracking (rays-sharded, {n_mesh}-device mesh): '
+              f'{best_sh:.3f} s/frame — mesh overhead '
+              f'{over * 1e3:+.0f} ms/frame ({over / tcfg.iters * 1e3:+.2f} '
+              f'ms/iter) vs the plain program')
+        t_fixed = max(over, 0.0)
+        for n in (2, 4, 8):
+            proj = best / n + t_fixed
+            print(f'  projected track s/frame at {n} chips: '
+                  f'{proj:.2f} (ray part {best / n:.2f} + fixed '
+                  f'{t_fixed:.2f})')
+
     # ---- mapping 5000 px x 60 iters window 10, EVERY frame ----
     n_win, n_iters = 10, 60
     mcfg = M.MapperConfig(pixels=5000, iters=n_iters, fix_fine=True,

@@ -403,3 +403,95 @@ def test_two_process_autotune_agreement(tmp_path):
                 results[int(line[6])] = json.loads(line[7:])
     assert sorted(results) == [0, 1], outs[0][-2000:]
     assert results[0]['salt'] == results[1]['salt'] == 1, results
+
+
+_CHILD_TRACK = r"""
+import json, os, sys
+pid = int(sys.argv[1]); nproc = int(sys.argv[2]); port = sys.argv[3]
+sys.path.insert(0, {repo!r}); sys.path.insert(0, os.path.join({repo!r}, 'tests'))
+from nice_slam_tpu.parallel import distributed as D
+D.initialize(coordinator_address=f'localhost:{{port}}', num_processes=nproc,
+             process_id=pid, cpu_simulation=True, local_device_count=2)
+import jax, jax.numpy as jnp, numpy as np
+assert jax.process_count() == 2 and len(jax.devices()) == 4
+import __graft_entry__ as g
+from nice_slam_tpu.core.cameras import Intrinsics
+from nice_slam_tpu.engine.tracker import TrackerConfig
+from nice_slam_tpu.parallel.mesh import make_ray_mesh
+from nice_slam_tpu.parallel.sharded import (
+    make_sharded_track_frame, replicate_to_mesh)
+
+model, rcfg, gcfg, grids, params, key = g._tiny_setup()
+intr = Intrinsics(H=24, W=32, fx=16.0, fy=16.0, cx=15.5, cy=11.5)
+tcfg = TrackerConfig(pixels=64, iters=5, cam_lr=0.01, separate_lr=True,
+                     ignore_edge_w=2, ignore_edge_h=2, var_floor=1e-4)
+mesh = make_ray_mesh(4)
+step = make_sharded_track_frame(mesh=mesh, model=model, rcfg=rcfg,
+                                tcfg=tcfg, intr=intr)
+gt_color = np.full((24, 32, 3), 0.4, np.float32)
+yy = np.linspace(0.6, 1.1, 24, dtype=np.float32)[:, None]
+gt_depth = np.broadcast_to(yy, (24, 32)).copy()
+cam7 = jnp.asarray([1.0, 0.01, 0.0, 0.0, 0.05, 0.0, 0.0])
+params_r, grids_r, col_r, dep_r = replicate_to_mesh(
+    (params, grids, gt_color, gt_depth), mesh)
+best, last, losses = step(params_r, grids_r, col_r, dep_r, cam7, key)
+res = dict(best=np.asarray(best).tolist(),
+           losses=np.asarray(losses).tolist())
+print('RESULT' + str(pid) + json.dumps(res), flush=True)
+"""
+
+
+@pytest.mark.slow
+def test_two_process_sharded_tracking(tmp_path):
+    """Ray-sharded tracking under a REAL 2-process runtime (2 x 2 virtual
+    devices, gloo): both ranks must agree exactly (the update is fully
+    replicated), and match the single-process single-device program
+    within psum float tolerance (the sharded loss is draw-identical)."""
+    from nice_slam_tpu.engine.tracker import TrackerConfig, make_track_frame
+    from nice_slam_tpu.core.cameras import Intrinsics
+    import __graft_entry__ as g
+
+    child = tmp_path / 'child_track.py'
+    child.write_text(_CHILD_TRACK.format(repo=REPO))
+    import socket
+    with socket.socket() as s:
+        s.bind(('localhost', 0))
+        port = s.getsockname()[1]
+    env = dict(os.environ)
+    env.pop('XLA_FLAGS', None)
+    procs = [subprocess.Popen(
+        [sys.executable, str(child), str(i), '2', str(port)],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        env=env, cwd=str(tmp_path))
+        for i in range(2)]
+    outs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=600)
+        assert p.returncode == 0, out[-4000:]
+        outs.append(out)
+    results = {}
+    for out in outs:
+        for line in out.splitlines():
+            if line.startswith('RESULT'):
+                results[int(line[6])] = json.loads(line[7:])
+    assert sorted(results) == [0, 1], outs[0][-2000:]
+    np.testing.assert_allclose(results[0]['best'], results[1]['best'],
+                               atol=1e-6)
+    np.testing.assert_allclose(results[0]['losses'], results[1]['losses'],
+                               rtol=1e-6)
+
+    # single-process single-device reference (identical inputs)
+    model, rcfg, gcfg, grids, params, key = g._tiny_setup()
+    intr = Intrinsics(H=24, W=32, fx=16.0, fy=16.0, cx=15.5, cy=11.5)
+    tcfg = TrackerConfig(pixels=64, iters=5, cam_lr=0.01, separate_lr=True,
+                         ignore_edge_w=2, ignore_edge_h=2, var_floor=1e-4)
+    single = make_track_frame(model=model, rcfg=rcfg, tcfg=tcfg, intr=intr)
+    gt_color = jnp.full((24, 32, 3), 0.4)
+    yy = jnp.linspace(0.6, 1.1, 24)[:, None]
+    gt_depth = jnp.broadcast_to(yy, (24, 32))
+    cam7 = jnp.asarray([1.0, 0.01, 0.0, 0.0, 0.05, 0.0, 0.0])
+    best_s, _, loss_s = single(params, grids, gt_color, gt_depth, cam7, key)
+    np.testing.assert_allclose(results[0]['best'], np.asarray(best_s),
+                               atol=5e-5)
+    np.testing.assert_allclose(results[0]['losses'], np.asarray(loss_s),
+                               rtol=2e-4)
