@@ -335,3 +335,26 @@ def test_max_rays_per_pass_below_frame_granularity_raises():
     with pytest.raises(ValueError, match='max_rays_per_pass'):
         step(opt_params, frozen, None, lr_tab, stage_idx, cam_mask,
              colors, depths, key)
+
+
+def test_free_mode_fenced_on_one_device(monkeypatch, tmp_path):
+    """On a single local device `sync_method: free` must alias to 'loose'
+    with a warning (measured strictly worse at equal accuracy on one chip,
+    BASELINE.md round-4 sync rows); `sync_force_free: true` keeps it."""
+    import jax
+    from nice_slam_tpu.engine import slam as slam_mod
+
+    one_dev = jax.local_devices()[:1]
+    monkeypatch.setattr(slam_mod.jax, 'local_devices', lambda: one_dev)
+
+    cfg = make_test_cfg(n_frames=3)
+    cfg['sync_method'] = 'free'
+    with pytest.warns(UserWarning, match="slower than 'loose'"):
+        s = slam_mod.SlamSystem(cfg, nice=True, output=str(tmp_path / 'a'))
+    assert s.sync_method == 'loose'
+
+    cfg2 = make_test_cfg(n_frames=3)
+    cfg2['sync_method'] = 'free'
+    cfg2['sync_force_free'] = True
+    s2 = slam_mod.SlamSystem(cfg2, nice=True, output=str(tmp_path / 'b'))
+    assert s2.sync_method == 'free'
