@@ -225,23 +225,48 @@ def run_reference(cfg_path: str, out_ref: str) -> dict:
             **ate_stats(tr['estimate_c2w'], tr['gt_c2w'])}
 
 
-def recon_metrics(out_ours: str) -> dict:
+def recon_metrics(out_ours: str, variant: str) -> dict:
     """Reconstruction metrics of the run's final mesh vs the fixture
     scene's ANALYTIC ground-truth surface (io/datasets.synthetic_gt_mesh —
-    the fixture generator renders exactly that scene).  Ours-side only:
-    the reference cannot extract meshes in this image (its mesher needs
-    skimage marching_cubes + Open3D, absent here) — that asymmetry is a
-    tooling limitation, not a comparison choice."""
+    the fixture generator renders exactly that scene), with the GT mesh
+    frustum-CULLED to the trajectory's visible region first — the
+    reference's own recipe (its eval runs against culled GT meshes,
+    src/tools/cull_mesh.py; a 100-frame orbit sees ~1/3 of the room, so
+    un-culled completion is dominated by never-observed walls).
+    Ours-side only: the reference cannot extract meshes in this image
+    (its mesher needs skimage marching_cubes + Open3D, absent here) —
+    a tooling limitation, not a comparison choice."""
     from make_fixture_dataset import BOX
     from nice_slam_tpu.eval.recon import calc_3d_metric
     from nice_slam_tpu.io.datasets import synthetic_gt_mesh
     from nice_slam_tpu.mesh.mesher import load_ply
+    from nice_slam_tpu.utils.ckpt import latest_checkpoint, load_checkpoint
 
     mesh_path = os.path.join(out_ours, 'mesh', 'final_mesh.ply')
     if not os.path.isfile(mesh_path):
         return {'recon': 'no final mesh'}
     rec_v, rec_t = load_ply(mesh_path)
     gt_v, gt_t = synthetic_gt_mesh(BOX)
+
+    # frustum-cull GT to the GT trajectory (tools/cull_mesh.py math)
+    ck = load_checkpoint(latest_checkpoint(os.path.join(out_ours, 'ckpts')))
+    cam = CAMS[variant]
+    seen = np.zeros((len(gt_v),), dtype=bool)
+    homo = np.concatenate([gt_v, np.ones((len(gt_v), 1))], axis=1)
+    for c2w in np.asarray(ck['gt_c2w']):
+        w2c = np.linalg.inv(c2w)
+        p = (homo @ w2c.T)[:, :3]
+        z = p[:, 2] + 1e-5
+        u = (cam['fx'] * (-p[:, 0]) + cam['cx'] * z) / z
+        v = (cam['fy'] * p[:, 1] + cam['cy'] * z) / z
+        seen |= (u > 0) & (u < cam['w']) & (v > 0) & (v < cam['h']) \
+            & (z < 0)
+    keep = seen[gt_t].any(axis=1)
+    used = np.unique(gt_t[keep])
+    remap = np.full((len(gt_v),), -1, dtype=np.int64)
+    remap[used] = np.arange(len(used))
+    gt_v, gt_t = gt_v[used], remap[gt_t[keep]]
+
     m = calc_3d_metric(rec_v, rec_t, gt_v, gt_t)
     return {k: round(v, 2) for k, v in m.items()}
 
@@ -331,7 +356,7 @@ def main():
             out_ours = os.path.join(root, f'out_ours_{seed}')
             row = run_ours(cfg_path, out_ours, seed)
             if args.recon:
-                row['recon'] = recon_metrics(out_ours)
+                row['recon'] = recon_metrics(out_ours, variant)
             results['ours'].append(row)
             print(json.dumps({'system': 'ours', **row}), flush=True)
             save()
