@@ -403,11 +403,16 @@ class SlamSystem:
                 # the 256^3..512^3 lattice query shards over a configured
                 # device mesh (SURVEY §7.1; the reference's hot loop,
                 # Mesher.py:569-575); >1 device only — on one device the
-                # shard_map wrapper is pure overhead
+                # shard_map wrapper is pure overhead — and PROCESS-LOCAL
+                # meshes only: the mesher uploads host points from this
+                # process, which a multi-host shard_map cannot consume
+                # (each rank extracts its own full mesh instead)
             ), self.model, self.intr, rcfg=self.rcfg,
                sharded_mesh=next(
                    (m for m in (self.par_mesh, self.par_track_mesh)
-                    if m is not None and m.devices.size > 1), None))
+                    if m is not None and 1 < m.devices.size
+                    and all(d.process_index == jax.process_index()
+                            for d in m.devices.flat)), None))
         self.eval_rec = bool(cfg.get('meshing', {}).get('eval_rec', False))
         self.mesh_async = bool(cfg.get('meshing', {}).get('async', True))
         self._mesh_pool = None
