@@ -89,11 +89,17 @@ def main():
         lambda g: prepare_grids(g, model.grid_shapes, stage='color'))(grids)
 
     # compile-quality re-roll, like engine/slam._autotune_track_fn: XLA's
-    # draw on this program is nondeterministic (~9 ms vs ~50 ms binaries)
+    # draw on this program is nondeterministic (~9 ms vs ~50 ms binaries).
+    # Accept threshold 7 ms = the measured good-binary pool at this budget
+    # (5.6-6.1 ms incl. dispatch, BASELINE.md round 5) + ~15% headroom —
+    # the old 25 ms stop was the same stale-threshold bug the round-5
+    # orchestrator fix removed (marginal 7-8 ms first draws were accepted,
+    # the entire residual 15.5-16.6 fps bench spread); extra compile draws
+    # cost bench wall time only, never the reported steady-state fps.
     n_frames = 20
     track_s_per_frame = float('inf')
     track_fn = None
-    for salt in range(3):
+    for salt in range(5):
         fn = make_track_frame(model=model, rcfg=rcfg, tcfg=tcfg, intr=intr,
                               salt=salt)
 
@@ -110,7 +116,7 @@ def main():
         dt = (time.perf_counter() - t0) / n_frames
         if dt < track_s_per_frame:
             track_s_per_frame, track_fn = dt, fn
-        if track_s_per_frame < 0.025:
+        if track_s_per_frame < 0.007:
             break
 
     # ---- mapping: 1000 px x 60 iters, 5-frame window ----
